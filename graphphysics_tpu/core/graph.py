@@ -1,0 +1,186 @@
+"""Static-shape graph containers.
+
+The TPU-first analog of the reference's dynamic PyG ``Data`` objects
+(``graphphysics/utils/torch_graph.py:115-195``): a flat struct-of-arrays pytree
+with *padded, static* node/edge counts so that every model step compiles once
+per bucket. Padding is tracked with boolean validity masks; padded nodes carry
+``NodeType.PADDING`` and padded edges connect the last (padding) node to itself
+and are masked out of every aggregation, softmax, loss, and statistic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _dc(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+
+
+@_dc
+@dataclasses.dataclass(frozen=True)
+class Graph:
+    """A (possibly padded) mesh graph.
+
+    Attributes:
+        x: ``[N, F]`` raw node features, laid out per the dataset config
+            (dynamic fields, node_type column, time column, ...).
+        pos: ``[N, D]`` mesh positions (D = 2 or 3).
+        senders: ``[E]`` int32 edge sources (``edge_index[0]`` in the reference).
+        receivers: ``[E]`` int32 edge targets (``edge_index[1]``).
+        edge_attr: ``[E, Fe]`` edge features or None.
+        node_mask: ``[N]`` bool, True for real (non-padding) nodes.
+        edge_mask: ``[E]`` bool, True for real (non-padding) edges.
+        y: ``[N, Fo]`` target features (next-frame dynamic fields) or None.
+    """
+
+    x: jax.Array
+    pos: jax.Array
+    senders: jax.Array
+    receivers: jax.Array
+    edge_attr: Optional[jax.Array]
+    node_mask: jax.Array
+    edge_mask: jax.Array
+    y: Optional[jax.Array]
+
+    @property
+    def num_nodes(self) -> int:
+        return self.x.shape[-2]
+
+    @property
+    def num_edges(self) -> int:
+        return self.senders.shape[-1]
+
+    def replace(self, **kw: Any) -> "Graph":
+        return dataclasses.replace(self, **kw)
+
+
+def round_up(n: int, multiple: int) -> int:
+    """Smallest multiple of ``multiple`` that is >= n."""
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def bucket_size(n: int, multiple: int, growth: float = 1.0) -> int:
+    """Pick a padded size for ``n``: round up to ``multiple``, optionally with
+    geometric headroom (``growth > 1``) so nearby sizes share one bucket and
+    one compiled executable."""
+    if growth > 1.0:
+        m = multiple
+        while m < n:
+            m = round_up(int(np.ceil(m * growth)), multiple)
+        return max(m, multiple)
+    return round_up(max(n, 1), multiple)
+
+
+def pad_graph_np(
+    x: np.ndarray,
+    pos: np.ndarray,
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    n_pad: int,
+    e_pad: int,
+    edge_attr: Optional[np.ndarray] = None,
+    y: Optional[np.ndarray] = None,
+    node_type_index: Optional[int] = None,
+    padding_node_type: int = 8,
+) -> Graph:
+    """Host-side (numpy) padding of a raw graph to static sizes.
+
+    Padded edges are self-loops on the last node (a padding node whenever
+    ``n_pad > N``) so scatter targets stay in range; all padded entries are
+    masked. If ``node_type_index`` is given, padded nodes get
+    ``padding_node_type`` in that feature column so their one-hot is distinct.
+    """
+    n, e = x.shape[0], senders.shape[0]
+    if n_pad < n or e_pad < e:
+        raise ValueError(f"pad sizes too small: nodes {n}->{n_pad}, edges {e}->{e_pad}")
+
+    def pad_rows(a: Optional[np.ndarray], rows: int) -> Optional[np.ndarray]:
+        if a is None:
+            return None
+        out = np.zeros((rows,) + a.shape[1:], dtype=a.dtype)
+        out[: a.shape[0]] = a
+        return out
+
+    x_p = pad_rows(x.astype(np.float32), n_pad)
+    if node_type_index is not None and n_pad > n:
+        x_p[n:, node_type_index] = padding_node_type
+    pos_p = pad_rows(pos.astype(np.float32), n_pad)
+    dummy = n_pad - 1
+    s_p = np.full((e_pad,), dummy, dtype=np.int32)
+    r_p = np.full((e_pad,), dummy, dtype=np.int32)
+    s_p[:e] = senders
+    r_p[:e] = receivers
+    ea_p = pad_rows(None if edge_attr is None else edge_attr.astype(np.float32), e_pad)
+    y_p = pad_rows(None if y is None else y.astype(np.float32), n_pad)
+    node_mask = np.zeros((n_pad,), dtype=bool)
+    node_mask[:n] = True
+    edge_mask = np.zeros((e_pad,), dtype=bool)
+    edge_mask[:e] = True
+    return Graph(
+        x=x_p,
+        pos=pos_p,
+        senders=s_p,
+        receivers=r_p,
+        edge_attr=ea_p,
+        node_mask=node_mask,
+        edge_mask=edge_mask,
+        y=y_p,
+    )
+
+
+def stack_graphs(graphs: list) -> Graph:
+    """Stack same-shape Graphs along a new leading batch axis (host or device).
+
+    The TPU batching analog of PyG's concat-batching: shapes stay static and
+    the batch axis is the natural data-parallel sharding axis.
+    """
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *graphs)
+
+
+def concat_graphs(graphs: list) -> Graph:
+    """Batch same-shape padded Graphs into one flat graph by concatenation,
+    offsetting edge indices by each graph's node count — the static-shape
+    analog of ``jraph.batch`` / PyG concat-batching.
+
+    Every graph must share the same padded (N, E) so the result's shape is a
+    pure function of batch size; edges never cross graph boundaries, so one
+    flat segment op processes the whole batch. The flat node axis is laid out
+    ``[graph0 | graph1 | ...]``, which makes it shardable across devices at
+    graph granularity.
+    """
+    if len(graphs) == 1:
+        return graphs[0]
+    n = graphs[0].num_nodes
+    e = graphs[0].num_edges
+    for g in graphs:
+        if g.num_nodes != n or g.num_edges != e:
+            raise ValueError("concat_graphs requires identical padded shapes")
+
+    def cat(field):
+        vals = [getattr(g, field) for g in graphs]
+        if vals[0] is None:
+            return None
+        return np.concatenate([np.asarray(v) for v in vals], axis=0)
+
+    senders = np.concatenate(
+        [np.asarray(g.senders) + i * n for i, g in enumerate(graphs)]
+    ).astype(np.int32)
+    receivers = np.concatenate(
+        [np.asarray(g.receivers) + i * n for i, g in enumerate(graphs)]
+    ).astype(np.int32)
+    return Graph(
+        x=cat("x"),
+        pos=cat("pos"),
+        senders=senders,
+        receivers=receivers,
+        edge_attr=cat("edge_attr"),
+        node_mask=cat("node_mask"),
+        edge_mask=cat("edge_mask"),
+        y=cat("y"),
+    )

@@ -1,0 +1,267 @@
+"""Core neural layers (flax.linen), numerically matching the reference.
+
+Each layer documents the reference symbol it re-implements
+(``graphphysics/models/layers.py``). Design deltas from the torch code are
+TPU-idiomatic only: static shapes, masked segment ops instead of
+torch-scatter/DGL, and pure-functional parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from graphphysics_tpu.ops import masked_segment_sum, sparse_graph_attention
+
+
+class RMSNorm(nn.Module):
+    """Root-mean-square layer norm, exact formula of reference
+    ``layers.py:18-74``: ``scale * x / (||x|| * d^-0.5 + eps)`` with optional
+    partial-p and bias."""
+
+    dim: int
+    p: float = -1.0
+    eps: float = 1e-8
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        if self.p < 0.0 or self.p > 1.0:
+            norm_x = jnp.linalg.norm(x, axis=-1, keepdims=True)
+            d_x = self.dim
+        else:
+            partial_size = int(self.dim * self.p)
+            norm_x = jnp.linalg.norm(x[..., :partial_size], axis=-1, keepdims=True)
+            d_x = partial_size
+        rms_x = norm_x * d_x ** (-0.5)
+        x_normed = x / (rms_x + self.eps)
+        out = scale * x_normed
+        if self.use_bias:
+            offset = self.param("offset", nn.initializers.zeros, (self.dim,))
+            out = out + offset
+        return out
+
+
+class MLP(nn.Module):
+    """``build_mlp`` of the reference (``layers.py:77-113``): Linear+ReLU
+    x(n-1) + Linear + optional RMSNorm output; default 4 linear layers."""
+
+    hidden_size: int
+    out_size: int
+    nb_of_layers: int = 4
+    layer_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert self.nb_of_layers >= 2
+        x = nn.relu(nn.Dense(self.hidden_size, name="dense_0")(x))
+        for i in range(self.nb_of_layers - 2):
+            x = nn.relu(nn.Dense(self.hidden_size, name=f"dense_{i + 1}")(x))
+        x = nn.Dense(self.out_size, name=f"dense_{self.nb_of_layers - 1}")(x)
+        if self.layer_norm:
+            x = RMSNorm(self.out_size, name="norm")(x)
+        return x
+
+
+class GatedMLP(nn.Module):
+    """GEGLU (``layers.py:198-233``): ``gelu(W1 x) * (W2 x)``."""
+
+    hidden_size: int
+    expansion_factor: int = 3
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        width = self.expansion_factor * self.hidden_size
+        left = nn.gelu(nn.Dense(width, name="linear1")(x), approximate=False)
+        right = nn.Dense(width, name="linear2")(x)
+        return left * right
+
+
+class GatedMLPBlock(nn.Module):
+    """``build_gated_mlp`` (``layers.py:236-262``): RMSNorm -> GEGLU -> Linear."""
+
+    hidden_size: int
+    out_size: int
+    expansion_factor: int = 3
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = RMSNorm(x.shape[-1], name="norm")(x)
+        x = GatedMLP(self.hidden_size, self.expansion_factor, name="gated")(x)
+        return nn.Dense(self.out_size, name="out")(x)
+
+
+class GMMHead(nn.Module):
+    """Full-covariance GMM head (``layers.py:116-154``): per component
+    ``1 (logit) + d (mean) + d(d+1)/2 (Cholesky)`` parameters."""
+
+    d: int
+    num_components: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        per_component = self.d + (self.d * (self.d + 1)) // 2 + 1
+        h = nn.Dense(x.shape[-1], name="pre_proj")(x)
+        return nn.Dense(self.num_components * per_component, name="proj")(h)
+
+
+class DiagonalGMMHead(nn.Module):
+    """Diagonal-covariance GMM head (``layers.py:157-195``): ``2d + 1`` per
+    component."""
+
+    d: int
+    num_components: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        per_component = 2 * self.d + 1
+        h = nn.Dense(x.shape[-1], name="pre_proj")(x)
+        return nn.Dense(self.num_components * per_component, name="proj")(h)
+
+
+class Attention(nn.Module):
+    """Multi-head adjacency-masked attention (``layers.py:460-545``).
+
+    Parity notes (deliberately preserved quirks of the reference):
+    - q/k/v are reshaped ``(N, head_dim, num_heads)`` — head h reads the
+      feature columns ``h, h+H, h+2H, ...`` (``layers.py:531-533``);
+    - scores are scaled by ``1/sqrt(k.size(-1))`` where ``k`` is in that
+      layout, i.e. ``1/sqrt(num_heads)`` — NOT ``1/sqrt(head_dim)``
+      (``layers.py:411-412``). Set ``scale_by_head_dim=True`` for the
+      conventional scaling.
+    """
+
+    output_dim: int
+    num_heads: int = 4
+    use_proj_bias: bool = True
+    use_separate_proj_weight: bool = True
+    scale_by_head_dim: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        senders: jax.Array,
+        receivers: jax.Array,
+        edge_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        assert self.output_dim % self.num_heads == 0
+        head_dim = self.output_dim // self.num_heads
+        n = x.shape[0]
+
+        q_proj = nn.Dense(self.output_dim, use_bias=self.use_proj_bias, name="q_proj")
+        if self.use_separate_proj_weight:
+            k_proj = nn.Dense(
+                self.output_dim, use_bias=self.use_proj_bias, name="k_proj"
+            )
+            v_proj = nn.Dense(
+                self.output_dim, use_bias=self.use_proj_bias, name="v_proj"
+            )
+        else:
+            # Reference shares the q weight matrix across q/k/v (layers.py:497-501).
+            k_proj = v_proj = q_proj
+        q, k, v = q_proj(x), k_proj(x), v_proj(x)
+
+        def to_heads(t):
+            # (N, head_dim, num_heads) layout, then [N, H, Dh] for the op.
+            return t.reshape(n, head_dim, self.num_heads).transpose(0, 2, 1)
+
+        scale = (head_dim if self.scale_by_head_dim else self.num_heads) ** -0.5
+        y = sparse_graph_attention(
+            to_heads(q),
+            to_heads(k),
+            to_heads(v),
+            senders,
+            receivers,
+            num_nodes=n,
+            edge_mask=edge_mask,
+            scale=scale,
+        )
+        # Back to the reference's flat layout: [N, H, Dh] -> (N, Dh, H) -> [N, D].
+        y = y.transpose(0, 2, 1).reshape(n, self.output_dim)
+        return nn.Dense(self.output_dim, use_bias=self.use_proj_bias, name="proj")(y)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-norm transformer block (``layers.py:548-627``):
+    ``x + attn(norm1(x))`` then ``x + gated_mlp(norm2(x))``."""
+
+    output_dim: int
+    num_heads: int = 4
+    use_proj_bias: bool = True
+    use_separate_proj_weight: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        senders: jax.Array,
+        receivers: jax.Array,
+        edge_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        attn = Attention(
+            output_dim=self.output_dim,
+            num_heads=self.num_heads,
+            use_proj_bias=self.use_proj_bias,
+            use_separate_proj_weight=self.use_separate_proj_weight,
+            name="attention",
+        )
+        x = x + attn(
+            RMSNorm(self.output_dim, name="norm1")(x), senders, receivers, edge_mask
+        )
+        x = x + GatedMLPBlock(
+            hidden_size=self.output_dim, out_size=self.output_dim, name="gated_mlp"
+        )(RMSNorm(self.output_dim, name="norm2")(x))
+        return x
+
+
+class GraphNetBlock(nn.Module):
+    """Message-passing block (``layers.py:630-746``).
+
+    Edge update: MLP on ``[edge_attr, x[receivers], x[senders]]`` (the
+    reference's ``[edge_attr, x_i, x_j]`` with i=target=col, j=source=row).
+    Node update: MLP on ``[x, sum of incoming edge messages]`` where messages
+    aggregate to ``receivers`` (flow="source_to_target"). Residuals on both.
+    """
+
+    hidden_size: int
+    nb_of_layers: int = 4
+    layer_norm: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        edge_attr: jax.Array,
+        senders: jax.Array,
+        receivers: jax.Array,
+        edge_mask: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        x_recv = jnp.take(x, receivers, axis=0)
+        x_send = jnp.take(x, senders, axis=0)
+        edge_in = jnp.concatenate([edge_attr, x_recv, x_send], axis=-1)
+        edge_update = MLP(
+            hidden_size=self.hidden_size,
+            out_size=self.hidden_size,
+            nb_of_layers=self.nb_of_layers,
+            layer_norm=self.layer_norm,
+            name="edge_block",
+        )(edge_in)
+
+        aggr = masked_segment_sum(
+            edge_update, receivers, num_segments=x.shape[0], mask=edge_mask
+        )
+        node_in = jnp.concatenate([x, aggr], axis=-1)
+        node_update = MLP(
+            hidden_size=self.hidden_size,
+            out_size=self.hidden_size,
+            nb_of_layers=self.nb_of_layers,
+            layer_norm=self.layer_norm,
+            name="node_block",
+        )(node_in)
+
+        return x + node_update, edge_attr + edge_update

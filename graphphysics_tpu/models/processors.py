@@ -1,0 +1,138 @@
+"""Processor architectures: EncodeProcessDecode and EncodeTransformDecode.
+
+Re-implementations of ``graphphysics/models/processors.py:27-277`` on static
+padded graphs. Both operate on a single graph's arrays; batch via ``jax.vmap``
+in the train step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+
+from graphphysics_tpu.core.graph import Graph
+from graphphysics_tpu.models.layers import (
+    MLP,
+    DiagonalGMMHead,
+    GMMHead,
+    GraphNetBlock,
+    TransformerBlock,
+)
+
+
+def _decoder(hidden_size, output_size, num_mixture_components, use_diagonal, name):
+    """Regular MLP decoder (no output norm) or a GMM head, per
+    ``processors.py:84-105``."""
+    if num_mixture_components == 0:
+        return MLP(
+            hidden_size=hidden_size,
+            out_size=output_size,
+            layer_norm=False,
+            name=name,
+        )
+    head = DiagonalGMMHead if use_diagonal else GMMHead
+    return head(d=output_size, num_components=num_mixture_components, name=name)
+
+
+class EncodeProcessDecode(nn.Module):
+    """MeshGraphNet-style EPD (``processors.py:27-137``): MLP encoders for
+    nodes and edges, N GraphNetBlocks, MLP (or GMM) decoder."""
+
+    message_passing_num: int
+    node_input_size: int
+    edge_input_size: int
+    output_size: int
+    hidden_size: int = 128
+    only_processor: bool = False
+    num_mixture_components: int = 0
+    temperature: Optional[float] = None
+    use_diagonal: bool = True
+    remat: bool = False
+
+    @property
+    def d(self) -> int:
+        return self.output_size
+
+    @property
+    def K(self) -> int:
+        return self.num_mixture_components
+
+    @nn.compact
+    def __call__(self, graph: Graph) -> jax.Array:
+        x, edge_attr = graph.x, graph.edge_attr
+        if not self.only_processor:
+            x = MLP(self.hidden_size, self.hidden_size, name="nodes_encoder")(x)
+            edge_attr = MLP(self.hidden_size, self.hidden_size, name="edges_encoder")(
+                edge_attr
+            )
+
+        block_cls = nn.remat(GraphNetBlock) if self.remat else GraphNetBlock
+        for i in range(self.message_passing_num):
+            x, edge_attr = block_cls(hidden_size=self.hidden_size, name=f"block_{i}")(
+                x, edge_attr, graph.senders, graph.receivers, graph.edge_mask
+            )
+
+        if self.only_processor:
+            return x
+        return _decoder(
+            self.hidden_size,
+            self.output_size,
+            self.num_mixture_components,
+            self.use_diagonal,
+            name="decode_module",
+        )(x)
+
+
+class EncodeTransformDecode(nn.Module):
+    """Sparse graph transformer (``processors.py:140-277``): MLP node encoder,
+    N pre-norm TransformerBlocks attending over the mesh adjacency, MLP (or
+    GMM) decoder. Edge features are not used (``edge_input_size == 0``)."""
+
+    message_passing_num: int
+    node_input_size: int
+    output_size: int
+    hidden_size: int = 128
+    num_heads: int = 4
+    only_processor: bool = False
+    use_proj_bias: bool = True
+    use_separate_proj_weight: bool = True
+    num_mixture_components: int = 0
+    temperature: Optional[float] = None
+    use_diagonal: bool = True
+    remat: bool = False
+
+    @property
+    def d(self) -> int:
+        return self.output_size
+
+    @property
+    def K(self) -> int:
+        return self.num_mixture_components
+
+    @nn.compact
+    def __call__(self, graph: Graph) -> jax.Array:
+        x = graph.x
+        if not self.only_processor:
+            x = MLP(self.hidden_size, self.hidden_size, name="nodes_encoder")(x)
+
+        block_cls = nn.remat(TransformerBlock) if self.remat else TransformerBlock
+        for i in range(self.message_passing_num):
+            x = block_cls(
+                output_dim=self.hidden_size,
+                num_heads=self.num_heads,
+                use_proj_bias=self.use_proj_bias,
+                use_separate_proj_weight=self.use_separate_proj_weight,
+                name=f"block_{i}",
+            )(x, graph.senders, graph.receivers, graph.edge_mask)
+
+        if self.only_processor:
+            return x
+        return _decoder(
+            self.hidden_size,
+            self.output_size,
+            self.num_mixture_components,
+            self.use_diagonal,
+            name="decode_module",
+        )(x)
