@@ -37,6 +37,9 @@ class Graph:
         node_mask: ``[N]`` bool, True for real (non-padding) nodes.
         edge_mask: ``[E]`` bool, True for real (non-padding) edges.
         y: ``[N, Fo]`` target features (next-frame dynamic fields) or None.
+        exclude_mask: ``[N]`` bool or None; True for nodes excluded from the
+            loss (the MeshMask ``selected_indexes`` of the reference,
+            ``graphphysics/utils/loss.py:10-25``).
     """
 
     x: jax.Array
@@ -47,6 +50,7 @@ class Graph:
     node_mask: jax.Array
     edge_mask: jax.Array
     y: Optional[jax.Array]
+    exclude_mask: Optional[jax.Array] = None
 
     @property
     def num_nodes(self) -> int:
@@ -183,4 +187,5 @@ def concat_graphs(graphs: list) -> Graph:
         node_mask=cat("node_mask"),
         edge_mask=cat("edge_mask"),
         y=cat("y"),
+        exclude_mask=cat("exclude_mask"),
     )

@@ -1,0 +1,229 @@
+"""Base dataset: index math, k-hop cache, random edges, masking, padding.
+
+Host-side re-design of the reference ``graphphysics/dataset/dataset.py`` with
+one structural addition: every item is padded to static node/edge *budgets*
+(rounded to a hardware-friendly multiple) so the device side compiles once.
+Budgets are computed from the first processed item with headroom, or given
+explicitly.
+"""
+
+from __future__ import annotations
+
+import abc
+import json
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+from graphphysics_tpu.core.graph import Graph, pad_graph_np, round_up
+from graphphysics_tpu.dataset.sample import RawSample
+from graphphysics_tpu.topology import (
+    add_random_edges,
+    cartesian_distance_features,
+    k_hop_edges,
+    world_pos_features,
+)
+
+
+class BaseDataset(abc.ABC):
+    """Shared per-item pipeline (reference ``BaseDataset``, ``dataset.py:18-203``):
+
+    ``load -> preprocessing -> k-hop (cached per trajectory) -> drop edge attrs
+    -> random edges -> masking -> pad to static budgets``.
+    """
+
+    def __init__(
+        self,
+        meta_path: str,
+        preprocessing: Optional[Callable] = None,
+        masking_ratio: Optional[float] = None,
+        khop: int = 1,
+        new_edges_ratio: float = 0.0,
+        add_edge_features: bool = True,
+        use_previous_data: bool = False,
+        world_pos_parameters: Optional[dict] = None,
+        node_type_index: Optional[int] = None,
+        node_budget: Optional[int] = None,
+        edge_budget: Optional[int] = None,
+        bucket_multiple: int = 128,
+        edge_headroom: float = 1.15,
+        seed: int = 0,
+    ):
+        with open(meta_path, "r") as fp:
+            self.meta: Dict[str, Any] = json.load(fp)
+
+        self.trajectory_length: int = self.meta["trajectory_length"]
+        self.preprocessing = preprocessing
+        self.masking_ratio = masking_ratio
+        self.khop = khop
+        self.new_edges_ratio = new_edges_ratio
+        self.add_edge_features = add_edge_features
+        self.use_previous_data = use_previous_data
+        self.node_type_index = node_type_index
+        self.node_budget = node_budget
+        self.edge_budget = edge_budget
+        self.bucket_multiple = bucket_multiple
+        self.edge_headroom = edge_headroom
+        self.seed = seed
+        self._epoch = 0
+
+        self.world_pos_index_start = None
+        self.world_pos_index_end = None
+        if world_pos_parameters is not None:
+            self.world_pos_index_start = world_pos_parameters.get(
+                "world_pos_index_start"
+            )
+            self.world_pos_index_end = world_pos_parameters.get("world_pos_index_end")
+
+        # k-hop caches keyed by trajectory (reference ``dataset.py:39-44``)
+        self._khop_edges_cache: Dict[int, tuple] = {}
+        self._khop_attr_cache: Dict[int, np.ndarray] = {}
+
+    # ------------------------------------------------------------------ API
+
+    @property
+    @abc.abstractmethod
+    def size_dataset(self) -> int:
+        """Number of trajectories."""
+
+    @abc.abstractmethod
+    def _load(self, index: int) -> RawSample:
+        """Load the raw (unpreprocessed) frame sample for a flat index."""
+
+    def __len__(self) -> int:
+        return self.size_dataset * (self.trajectory_length - 1)
+
+    def get_traj_frame(self, index: int) -> tuple:
+        """Flat index -> (trajectory, frame); with previous-data the usable
+        frames shift by one (reference ``dataset.py:66-81``)."""
+        traj = index // (self.trajectory_length - 1)
+        frame = index % (self.trajectory_length - 1) + int(self.use_previous_data)
+        return traj, frame
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed per-item randomness (noise, random edges, masking)."""
+        self._epoch = epoch
+
+    def __getitem__(self, index: int) -> Graph:
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self._epoch, index])
+        )
+        sample = self._load(index)
+        traj_index = sample.traj_index
+
+        if self.preprocessing is not None:
+            sample = self.preprocessing(sample, rng)
+        if sample.senders is None:
+            # no preprocessing built edges: derive from faces
+            from graphphysics_tpu.dataset.preprocessing import apply_face_to_edge
+
+            sample = apply_face_to_edge(sample, rng)
+
+        sample = self._apply_k_hop(sample, traj_index)
+        if not self.add_edge_features:
+            sample.edge_attr = None
+        sample = self._add_random_edges(sample, rng)
+        exclude = self._masked_indexes(sample, rng)
+
+        return self._pad(sample, exclude)
+
+    def trajectory_indices(self, traj_index: int) -> List[int]:
+        per = self.trajectory_length - 1
+        return list(range(traj_index * per, (traj_index + 1) * per))
+
+    # ------------------------------------------------------------ pipeline
+
+    def _apply_k_hop(self, sample: RawSample, traj_index: int) -> RawSample:
+        """k-hop adjacency expansion with per-trajectory cache; edge features
+        are recomputed from scratch on the k-hop graph, matching the
+        reference ``compute_k_hop_graph`` (``torch_graph.py:56-112``)."""
+        if self.khop <= 1:
+            return sample
+        if traj_index in self._khop_edges_cache:
+            sample.senders, sample.receivers = self._khop_edges_cache[traj_index]
+            if self.add_edge_features:
+                sample.edge_attr = self._khop_attr_cache[traj_index]
+            return sample
+
+        s, r = k_hop_edges(
+            sample.senders, sample.receivers, sample.num_nodes, self.khop
+        )
+        sample.senders, sample.receivers = s, r
+        self._khop_edges_cache[traj_index] = (s, r)
+        if self.add_edge_features:
+            attr = cartesian_distance_features(sample.pos, s, r)
+            if (
+                self.world_pos_index_start is not None
+                and self.world_pos_index_end is not None
+            ):
+                wp = sample.x[:, self.world_pos_index_start : self.world_pos_index_end]
+                attr = world_pos_features(wp, s, r, attr)
+            sample.edge_attr = attr
+            self._khop_attr_cache[traj_index] = attr
+        return sample
+
+    def _add_random_edges(
+        self, sample: RawSample, rng: np.random.Generator
+    ) -> RawSample:
+        """Random long-range edges; mesh edge features recomputed from scratch
+        afterwards (reference ``_add_random_edges``, ``dataset.py:104-137`` —
+        note the reference also drops world-pos edge features here)."""
+        if self.new_edges_ratio <= 0.0 or self.new_edges_ratio > 1.0:
+            return sample
+        s, r = add_random_edges(
+            sample.senders,
+            sample.receivers,
+            sample.num_nodes,
+            self.new_edges_ratio,
+            rng,
+        )
+        sample.senders, sample.receivers = s, r
+        if self.add_edge_features:
+            sample.edge_attr = cartesian_distance_features(sample.pos, s, r)
+        return sample
+
+    def _masked_indexes(
+        self, sample: RawSample, rng: np.random.Generator
+    ) -> Optional[np.ndarray]:
+        """Boolean exclude mask over kept (visible) nodes — the MeshMask
+        ``selected_indexes`` semantics (``torch_graph.py:285-302`` +
+        ``loss.py:20-24``: selected nodes are excluded from the loss)."""
+        if self.masking_ratio is None:
+            return None
+        n = sample.num_nodes
+        num_keep = int((1.0 - self.masking_ratio) * n)
+        keep = rng.permutation(n)[:num_keep]
+        mask = np.zeros(n, dtype=bool)
+        mask[keep] = True
+        return mask
+
+    def _pad(self, sample: RawSample, exclude: Optional[np.ndarray]) -> Graph:
+        n, e = sample.num_nodes, sample.num_edges
+        if self.node_budget is None:
+            self.node_budget = round_up(n, self.bucket_multiple)
+        if self.edge_budget is None:
+            self.edge_budget = round_up(
+                int(e * self.edge_headroom), self.bucket_multiple
+            )
+        if n > self.node_budget or e > self.edge_budget:
+            raise ValueError(
+                f"sample exceeds static budgets: nodes {n}>{self.node_budget} or "
+                f"edges {e}>{self.edge_budget}; raise node_budget/edge_budget or "
+                f"edge_headroom"
+            )
+        graph = pad_graph_np(
+            sample.x,
+            sample.pos,
+            sample.senders,
+            sample.receivers,
+            n_pad=self.node_budget,
+            e_pad=self.edge_budget,
+            edge_attr=sample.edge_attr,
+            y=sample.y,
+            node_type_index=self.node_type_index,
+        )
+        if exclude is not None:
+            padded = np.zeros(self.node_budget, dtype=bool)
+            padded[: len(exclude)] = exclude
+            graph = graph.replace(exclude_mask=padded)
+        return graph

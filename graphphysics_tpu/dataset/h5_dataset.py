@@ -1,0 +1,147 @@
+"""H5 trajectory dataset (reference ``graphphysics/dataset/h5_dataset.py``).
+
+Design deltas from the reference:
+
+- whole trajectories are cached in memory (small LRU) instead of re-read from
+  disk for every frame (the reference re-reads the full trajectory per item,
+  ``h5_dataset.py:85-87``);
+- the file handle is opened lazily per process, so the dataset object can be
+  pickled into worker processes safely (the reference forces
+  ``num_workers=0`` for h5, ``parse_parameters.py:224-225``).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Any, Dict, Optional
+
+import h5py
+import numpy as np
+
+from graphphysics_tpu.dataset.dataset import BaseDataset
+from graphphysics_tpu.dataset.sample import RawSample, meshdata_to_sample
+
+
+def load_meta_trajectory(
+    file_handle: h5py.File, traj_key: str, meta: Dict[str, Any]
+) -> Dict[str, np.ndarray]:
+    """Read all features of one trajectory, reshaped per the meta schema
+    (reference ``get_traj_as_meshes``, ``hierarchical.py:38-64``)."""
+    group = file_handle[traj_key]
+    out = {}
+    for key, field in meta["features"].items():
+        data = group[key][()].astype(field["dtype"])
+        out[key] = data.reshape(field["shape"])
+    return out
+
+
+def frame_to_sample(
+    traj: Dict[str, np.ndarray],
+    frame: int,
+    meta: Dict[str, Any],
+    frame_target: Optional[int] = None,
+    id: Optional[str] = None,
+) -> RawSample:
+    """One frame -> RawSample (reference ``get_frame_as_mesh`` +
+    ``get_frame_as_graph``, ``hierarchical.py:67-155``): node features are all
+    non-geometry fields at ``frame`` plus node_type (frame 0) plus a trailing
+    time column; targets are the dynamic fields (or ``meta.target_features``)
+    at ``frame_target``."""
+    target_point_data = None
+    if frame_target is not None:
+        names = meta.get("target_features")
+        if names is None:
+            target_point_data = {
+                key: traj[key][frame_target]
+                for key, field in meta["features"].items()
+                if field["type"] == "dynamic"
+            }
+        else:
+            target_point_data = {key: traj[key][frame_target] for key in names}
+
+    point_data = {
+        key: traj[key][frame]
+        for key in traj.keys()
+        if key not in ("mesh_pos", "cells", "node_type")
+    }
+    if "node_type" in traj:
+        point_data["node_type"] = traj["node_type"][0]
+
+    mesh_pos = traj["mesh_pos"][frame] if traj["mesh_pos"].ndim > 1 else traj["mesh_pos"]
+    cells = traj["cells"][frame] if traj["cells"].ndim > 1 else traj["cells"]
+
+    time = frame * meta.get("dt", 1)
+    return meshdata_to_sample(
+        points=mesh_pos,
+        cells=cells,
+        point_data=point_data,
+        time=time,
+        target=target_point_data,
+        id=id,
+    )
+
+
+class H5Dataset(BaseDataset):
+    def __init__(
+        self,
+        h5_path: str,
+        meta_path: str,
+        switch_to_val: bool = False,
+        traj_cache_size: int = 2,
+        **kwargs,
+    ):
+        super().__init__(meta_path=meta_path, **kwargs)
+        if switch_to_val:
+            h5_path = h5_path.replace("train", "test")
+        self.h5_path = h5_path
+        self.dt = self.meta.get("dt", 1) or 1
+
+        self._file: Optional[h5py.File] = None
+        self._traj_cache: OrderedDict = OrderedDict()
+        self._traj_cache_size = traj_cache_size
+        with h5py.File(h5_path, "r") as f:
+            self.datasets_index = list(f.keys())
+        self._size_dataset = len(self.datasets_index)
+
+    @property
+    def size_dataset(self) -> int:
+        return self._size_dataset
+
+    def _handle(self) -> h5py.File:
+        if self._file is None:
+            self._file = h5py.File(self.h5_path, "r")
+        return self._file
+
+    def _trajectory(self, traj_index: int) -> Dict[str, np.ndarray]:
+        if traj_index in self._traj_cache:
+            self._traj_cache.move_to_end(traj_index)
+            return self._traj_cache[traj_index]
+        traj = load_meta_trajectory(
+            self._handle(), self.datasets_index[traj_index], self.meta
+        )
+        self._traj_cache[traj_index] = traj
+        while len(self._traj_cache) > self._traj_cache_size:
+            self._traj_cache.popitem(last=False)
+        return traj
+
+    def _load(self, index: int) -> RawSample:
+        traj_index, frame = self.get_traj_frame(index)
+        traj = self._trajectory(traj_index)
+        sample = frame_to_sample(
+            traj, frame, self.meta, frame_target=frame + 1
+        )
+        if self.use_previous_data:
+            prev = frame_to_sample(traj, frame - 1, self.meta, frame_target=None)
+            sample.previous_data = prev.x
+        sample.traj_index = traj_index
+        return sample
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_file"] = None  # handles are not picklable; reopen per process
+        state["_traj_cache"] = OrderedDict()
+        return state
+
+    def __del__(self):
+        if getattr(self, "_file", None) is not None:
+            self._file.close()

@@ -46,7 +46,13 @@ class Normalizer(nn.Module):
         mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         state = self.state.value
-        if accumulate and self.is_mutable_collection("normalizer"):
+        # No accumulation during flax init: init traces the forward with all
+        # collections mutable, which would silently pre-accumulate one batch.
+        if (
+            accumulate
+            and self.is_mutable_collection("normalizer")
+            and not self.is_initializing()
+        ):
             state = norm.accumulate(state, data, mask)
             self.state.value = state
         return (data - norm.mean(state)) / norm.std_with_epsilon(state)

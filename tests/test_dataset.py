@@ -1,0 +1,243 @@
+"""Dataset-layer integration tests on generated fixtures (the analog of the
+reference tests/graphphysics/dataset/test_h5dataset.py / test_xdmfdataset.py)."""
+
+import numpy as np
+import pytest
+
+from graphphysics_tpu.core.nodetype import NodeType
+from graphphysics_tpu.dataset import (
+    GraphLoader,
+    H5Dataset,
+    XDMFDataset,
+    build_preprocessing,
+)
+from tests.fixtures import write_aneurysm_xdmf, write_cylinder_h5, write_plate_h5
+
+
+@pytest.fixture(scope="module")
+def cylinder(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cyl")
+    return write_cylinder_h5(str(d))
+
+
+@pytest.fixture(scope="module")
+def plate(tmp_path_factory):
+    d = tmp_path_factory.mktemp("plate")
+    return write_plate_h5(str(d))
+
+
+@pytest.fixture(scope="module")
+def aneurysm(tmp_path_factory):
+    d = tmp_path_factory.mktemp("aneu")
+    return write_aneurysm_xdmf(str(d))
+
+
+def _cyl_preproc(noise=0.0):
+    noise_params = None
+    if noise:
+        noise_params = {
+            "noise_index_start": [0],
+            "noise_index_end": [2],
+            "noise_scale": noise,
+            "node_type_index": 2,
+        }
+    return build_preprocessing(noise_parameters=noise_params)
+
+
+def test_h5_dataset_shapes_and_layout(cylinder):
+    h5_path, meta_path = cylinder
+    ds = H5Dataset(
+        h5_path=h5_path,
+        meta_path=meta_path,
+        preprocessing=_cyl_preproc(),
+        node_type_index=2,
+    )
+    assert len(ds) == 2 * 11
+    g = ds[0]
+    # padded budgets are multiples of 128
+    assert g.num_nodes % 128 == 0 and g.num_edges % 128 == 0
+    n_real = int(g.node_mask.sum())
+    assert n_real == 96  # 12 x 8 grid
+    # x layout: [vel(2), node_type, time]
+    assert g.x.shape[1] == 4
+    assert g.y.shape[1] == 2
+    # edge features: rel pos (2) + distance (1)
+    assert g.edge_attr.shape[1] == 3
+    # padding node types marked
+    assert np.all(g.x[n_real:, 2] == int(NodeType.PADDING))
+    # time column constant = frame * dt
+    np.testing.assert_allclose(g.x[:n_real, 3], 0.0)
+    g5 = ds[5]
+    np.testing.assert_allclose(g5.x[: int(g5.node_mask.sum()), 3], 5 * 0.01, rtol=1e-5)
+
+
+def test_h5_dataset_target_is_next_frame(cylinder):
+    h5_path, meta_path = cylinder
+    ds = H5Dataset(
+        h5_path=h5_path, meta_path=meta_path, preprocessing=_cyl_preproc(),
+        node_type_index=2,
+    )
+    g0, g1 = ds[0], ds[1]
+    n = int(g0.node_mask.sum())
+    np.testing.assert_allclose(g0.y[:n], g1.x[:n, 0:2], rtol=1e-5)
+
+
+def test_noise_only_on_normal_nodes(cylinder):
+    h5_path, meta_path = cylinder
+    clean = H5Dataset(
+        h5_path=h5_path, meta_path=meta_path, preprocessing=_cyl_preproc(0.0),
+        node_type_index=2,
+    )
+    noisy = H5Dataset(
+        h5_path=h5_path, meta_path=meta_path, preprocessing=_cyl_preproc(0.5),
+        node_type_index=2,
+    )
+    gc, gn = clean[0], noisy[0]
+    n = int(gc.node_mask.sum())
+    nt = gc.x[:n, 2]
+    normal = nt == int(NodeType.NORMAL)
+    diff = np.abs(gc.x[:n, 0:2] - gn.x[:n, 0:2]).max(axis=1)
+    assert np.all(diff[~normal] == 0.0)
+    assert diff[normal].max() > 1e-3
+
+
+def test_khop_increases_edges_and_caches(cylinder):
+    h5_path, meta_path = cylinder
+    ds1 = H5Dataset(
+        h5_path=h5_path, meta_path=meta_path, preprocessing=_cyl_preproc(),
+        node_type_index=2,
+    )
+    ds2 = H5Dataset(
+        h5_path=h5_path, meta_path=meta_path, preprocessing=_cyl_preproc(),
+        khop=2, node_type_index=2,
+    )
+    e1 = int(ds1[0].edge_mask.sum())
+    e2 = int(ds2[0].edge_mask.sum())
+    assert e2 > e1
+    assert 0 in ds2._khop_edges_cache
+    # second access from the same trajectory must reuse the cache
+    g = ds2[1]
+    assert int(g.edge_mask.sum()) == e2
+
+
+def test_random_edges_add_edges(cylinder):
+    h5_path, meta_path = cylinder
+    base = H5Dataset(
+        h5_path=h5_path, meta_path=meta_path, preprocessing=_cyl_preproc(),
+        node_type_index=2,
+    )
+    aug = H5Dataset(
+        h5_path=h5_path, meta_path=meta_path, preprocessing=_cyl_preproc(),
+        new_edges_ratio=0.2, node_type_index=2, edge_headroom=1.5,
+    )
+    assert int(aug[0].edge_mask.sum()) > int(base[0].edge_mask.sum())
+
+
+def test_masking_produces_exclude_mask(cylinder):
+    h5_path, meta_path = cylinder
+    ds = H5Dataset(
+        h5_path=h5_path, meta_path=meta_path, preprocessing=_cyl_preproc(),
+        masking_ratio=0.25, node_type_index=2,
+    )
+    g = ds[0]
+    n = int(g.node_mask.sum())
+    assert g.exclude_mask is not None
+    kept = int(g.exclude_mask.sum())
+    assert kept == int(0.75 * n)
+    assert not g.exclude_mask[n:].any()
+
+
+def test_loader_batches_by_concatenation(cylinder):
+    h5_path, meta_path = cylinder
+    ds = H5Dataset(
+        h5_path=h5_path, meta_path=meta_path, preprocessing=_cyl_preproc(),
+        node_type_index=2,
+    )
+    loader = GraphLoader(ds, batch_size=4, shuffle=True, prefetch=2)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 4
+    b = batches[0]
+    single = ds[0]
+    assert b.num_nodes == 4 * single.num_nodes
+    assert b.num_edges == 4 * single.num_edges
+    # edges of graph k offset into [k*N, (k+1)*N)
+    n = single.num_nodes
+    for k in range(4):
+        seg = slice(k * single.num_edges, (k + 1) * single.num_edges)
+        sub = b.senders[seg]
+        assert sub.min() >= k * n and sub.max() < (k + 1) * n
+
+
+def test_plate_world_pipeline(plate):
+    h5_path, meta_path = plate
+    wpp = {"world_pos_index_start": 0, "world_pos_index_end": 3, "node_type_index": 6}
+    pre = build_preprocessing(world_pos_parameters={**wpp, "radius": 0.5})
+    ds = H5Dataset(
+        h5_path=h5_path,
+        meta_path=meta_path,
+        preprocessing=pre,
+        node_type_index=6,
+        edge_headroom=2.0,
+    )
+    g = ds[0]
+    n = int(g.node_mask.sum())
+    # x layout after add_obstacles_next_pos: [world_pos(3), obstacle_disp(3), node_type, time]
+    assert g.x.shape[1] == 8
+    nt = g.x[:n, 6]
+    assert set(np.unique(nt)).issubset(
+        {float(NodeType.NORMAL), float(NodeType.HANDLE), float(NodeType.OBSTACLE)}
+    )
+    # obstacle displacement equals target - current world pos on obstacle nodes
+    obstacle = nt == float(NodeType.OBSTACLE)
+    disp = g.x[:n, 3:6][obstacle]
+    np.testing.assert_allclose(disp, g.y[:n][obstacle] - g.x[:n, 0:3][obstacle],
+                               rtol=1e-4, atol=1e-6)
+    # edge features: cartesian(3)+dist(1)+world rel(3)+world dist(1)
+    assert g.edge_attr.shape[1] == 8
+
+
+def test_xdmf_roundtrip_and_dataset(aneurysm):
+    folder, meta_path = aneurysm
+    from graphphysics_tpu.external.aneurysm import build_features
+
+    pre = build_preprocessing(
+        add_edges_features=False, extra_node_features=build_features
+    )
+    ds = XDMFDataset(
+        xdmf_folder=folder,
+        meta_path=meta_path,
+        preprocessing=pre,
+        add_edge_features=False,
+        use_previous_data=True,
+        node_type_index=14,
+    )
+    assert ds.size_dataset == 2
+    g = ds[0]
+    n = int(g.node_mask.sum())
+    assert n == 64  # 4^3 grid
+    # x layout: [Vitesse(3), wall(1), time(1), accel(3), pos(3), mean, min, max, nt]
+    assert g.x.shape[1] == 15
+    assert g.edge_attr is None
+    nt = g.x[:n, 14]
+    assert (nt == float(NodeType.WALL_BOUNDARY)).any()
+
+
+def test_xdmf_previous_data_acceleration(aneurysm):
+    folder, meta_path = aneurysm
+    from graphphysics_tpu.external.aneurysm import build_features
+
+    pre = build_preprocessing(
+        add_edges_features=False, extra_node_features=build_features
+    )
+    ds = XDMFDataset(
+        xdmf_folder=folder, meta_path=meta_path, preprocessing=pre,
+        add_edge_features=False, use_previous_data=True, node_type_index=14,
+    )
+    # use_previous_data shifts frames by one: item 0 -> frame 1
+    traj, frame = ds.get_traj_frame(0)
+    assert (traj, frame) == (0, 1)
+    g = ds[0]
+    n = int(g.node_mask.sum())
+    # acceleration column = current velocity - previous velocity
+    raw = ds._load(0)
+    assert np.isfinite(g.x[:n, 5:8]).all()
