@@ -1,0 +1,125 @@
+"""Benchmark: training-step throughput (edges/sec/chip) on the flagship
+EncodeProcessDecode at MeshGraphNet scale.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md), so vs_baseline is measured
+against a recorded first-light value in BASELINE.json when present, else 1.0.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from graphphysics_tpu.core.graph import pad_graph_np
+    from graphphysics_tpu.core.nodetype import NodeType
+    from graphphysics_tpu.models.processors import EncodeProcessDecode
+    from graphphysics_tpu.models.simulator import Simulator, SimulatorConfig
+    from graphphysics_tpu.training.losses import l2_loss
+    from graphphysics_tpu.training.schedule import cosine_warmup_schedule
+
+    # cylinder-flow scale x8 batch, MeshGraphNet-standard model (15 x 128)
+    n, e, batch = 2048, 12288, 8
+    rng = np.random.default_rng(0)
+
+    def one(seed):
+        r = np.random.default_rng(seed)
+        x = r.normal(size=(n, 4)).astype(np.float32)
+        x[:, 2] = r.integers(0, 7, size=n)
+        pos = r.normal(size=(n, 2)).astype(np.float32)
+        s = r.integers(0, n, size=e).astype(np.int32)
+        t = r.integers(0, n, size=e).astype(np.int32)
+        ea = r.normal(size=(e, 3)).astype(np.float32)
+        y = r.normal(size=(n, 2)).astype(np.float32)
+        return pad_graph_np(x, pos, s, t, n_pad=n, e_pad=e, edge_attr=ea, y=y,
+                            node_type_index=2)
+
+    from graphphysics_tpu.core.graph import concat_graphs
+
+    graph = jax.tree_util.tree_map(
+        jnp.asarray, concat_graphs([one(i) for i in range(batch)])
+    )
+
+    cfg = SimulatorConfig(
+        node_input_size=2 + NodeType.SIZE, edge_input_size=3, output_size=2,
+        feature_index_start=0, feature_index_end=2,
+        output_index_start=0, output_index_end=2, node_type_index=2,
+    )
+    model = EncodeProcessDecode(
+        message_passing_num=15, node_input_size=cfg.node_input_size,
+        edge_input_size=3, output_size=2, hidden_size=128,
+    )
+    sim = Simulator(config=cfg, model=model)
+    variables = sim.init({"params": jax.random.key(0)}, graph)
+    tx = optax.adamw(cosine_warmup_schedule(1e-3, 100, 10000),
+                     b1=0.9, b2=0.95, weight_decay=1e-4)
+    state = {
+        "params": variables["params"],
+        "normalizer": variables["normalizer"],
+        "opt_state": tx.init(variables["params"]),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+    @jax.jit
+    def step(state, graph):
+        def loss_fn(p):
+            (out, tgt, _), mut = sim.apply(
+                {"params": p, "normalizer": state["normalizer"]}, graph,
+                is_training=True, mutable=["normalizer"],
+            )
+            nt = graph.x[:, 2].astype(jnp.int32)
+            return l2_loss(tgt, out, nt, [NodeType.NORMAL, NodeType.OUTFLOW],
+                           node_valid=graph.node_mask), mut["normalizer"]
+
+        (loss, norm), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"]
+        )
+        updates, opt = tx.update(grads, state["opt_state"], state["params"])
+        return {
+            "params": optax.apply_updates(state["params"], updates),
+            "normalizer": norm,
+            "opt_state": opt,
+            "step": state["step"] + 1,
+        }, loss
+
+    # warmup / compile
+    for _ in range(3):
+        state, loss = step(state, graph)
+    jax.block_until_ready(loss)
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, graph)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    total_edges = batch * e * iters
+    edges_per_sec = total_edges / dt
+
+    baseline = None
+    try:
+        with open("BASELINE.json") as f:
+            baseline = (
+                json.load(f).get("measured", {}).get("train_edges_per_sec_per_chip")
+            )
+    except Exception:
+        pass
+    vs = edges_per_sec / baseline if baseline else 1.0
+
+    print(json.dumps({
+        "metric": "train_edges_per_sec_per_chip",
+        "value": round(edges_per_sec, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Training CLI (reference ``graphphysics/train.py``):
+
+    python -m graphphysics_tpu.cli.train --training_parameters_path=cfg.json \
+        --num_epochs 10 --batch_size 2 --init_lr 1e-3 --warmup 1000
+
+Same JSON config schema and flag names as the reference; W&B is optional
+(``--project_name`` with wandb installed), CSV metrics always written.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from graphphysics_tpu.dataset import GraphLoader
+from graphphysics_tpu.training.parse_parameters import get_dataset, get_preprocessing
+from graphphysics_tpu.training.trainer import Trainer
+from graphphysics_tpu.utils.metrics import WandbLogger
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train a graphphysics_tpu model")
+    p.add_argument("--training_parameters_path", required=True)
+    p.add_argument("--project_name", default=None, help="W&B project (optional)")
+    p.add_argument("--num_epochs", type=int, default=10)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--init_lr", type=float, default=0.001)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--warmup", type=int, default=1000)
+    p.add_argument("--prefetch_factor", type=int, default=2)
+    p.add_argument("--model_save_name", default="state.msgpack")
+    p.add_argument("--model_path", default=None, help="checkpoint to resume from")
+    p.add_argument("--resume_training", action="store_true")
+    p.add_argument("--use_previous_data", action="store_true")
+    p.add_argument("--previous_data_start", type=int, default=4)
+    p.add_argument("--previous_data_end", type=int, default=7)
+    p.add_argument("--no_edge_feature", action="store_true")
+    p.add_argument("--masking_ratio", type=float, default=None)
+    p.add_argument("--val_trajectories", type=int, default=None)
+    p.add_argument("--checkpoint_dir", default="checkpoints")
+    p.add_argument("--metrics_path", default="metrics.csv")
+    p.add_argument(
+        "--external_features",
+        default=None,
+        choices=[None, "aneurysm", "bezier"],
+        help="extra node-feature hook (reference wires aneurysm at train.py:100-105)",
+    )
+    return p
+
+
+def _extra_features(name):
+    if name == "aneurysm":
+        from graphphysics_tpu.external.aneurysm import build_features
+
+        return build_features
+    if name == "bezier":
+        from graphphysics_tpu.external.bezier import add_bezier_node_type
+
+        return add_bezier_node_type
+    return None
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    with open(args.training_parameters_path) as fp:
+        parameters = json.load(fp)
+
+    use_edge_feature = not args.no_edge_feature
+    extra = _extra_features(args.external_features)
+
+    train_pre = get_preprocessing(
+        parameters, use_edge_feature=use_edge_feature, extra_node_features=extra
+    )
+    val_pre = get_preprocessing(
+        parameters,
+        use_edge_feature=use_edge_feature,
+        remove_noise=True,
+        extra_node_features=extra,
+    )
+    train_ds = get_dataset(
+        parameters,
+        train_pre,
+        masking_ratio=args.masking_ratio,
+        use_edge_feature=use_edge_feature,
+        use_previous_data=args.use_previous_data,
+    )
+    val_ds = get_dataset(
+        parameters,
+        val_pre,
+        use_edge_feature=use_edge_feature,
+        use_previous_data=args.use_previous_data,
+        switch_to_val=True,
+        node_budget=train_ds.node_budget,
+        edge_budget=train_ds.edge_budget,
+    )
+    loader = GraphLoader(
+        train_ds,
+        batch_size=args.batch_size,
+        shuffle=True,
+        seed=args.seed,
+        prefetch=args.prefetch_factor,
+    )
+
+    extra_logger = None
+    if args.project_name:
+        extra_logger = WandbLogger(
+            project=args.project_name,
+            config={
+                "architecture": parameters["model"]["type"],
+                "#_layers": parameters["model"]["message_passing_num"],
+                "#_neurons": parameters["model"]["hidden_size"],
+                "#_hops": parameters["dataset"].get("khop", 1),
+                "max_lr": args.init_lr,
+                "batch_size": args.batch_size,
+            },
+        )
+
+    prev_kwargs = {}
+    if args.use_previous_data:
+        prev_kwargs = dict(
+            use_previous_data=True,
+            previous_data_start=args.previous_data_start,
+            previous_data_end=args.previous_data_end,
+        )
+    trainer = Trainer(
+        parameters,
+        learning_rate=args.init_lr,
+        warmup=args.warmup,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_name=args.model_save_name,
+        metrics_path=args.metrics_path,
+        seed=args.seed,
+        extra_logger=extra_logger,
+        **prev_kwargs,
+    )
+    trainer.fit(
+        loader,
+        val_dataset=val_ds,
+        num_epochs=args.num_epochs,
+        resume_from=args.model_path if args.resume_training else None,
+        val_trajectories=args.val_trajectories,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -147,6 +147,34 @@ def stack_graphs(graphs: list) -> Graph:
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *graphs)
 
 
+def flatten_batched_graph(g: Graph) -> "Graph":
+    """Device-side (jnp, jit-friendly) flattening of a stacked batch
+    ``[B, N, ...]`` into one concat graph ``[B*N, ...]`` with offset edge
+    indices — the in-jit twin of ``concat_graphs`` used inside ``shard_map``
+    so each device flattens only its local shard."""
+    import jax.numpy as jnp
+
+    b, n = g.x.shape[0], g.x.shape[1]
+
+    def flat(a):
+        if a is None:
+            return None
+        return a.reshape((b * a.shape[1],) + a.shape[2:])
+
+    offsets = (jnp.arange(b, dtype=g.senders.dtype) * n)[:, None]
+    return Graph(
+        x=flat(g.x),
+        pos=flat(g.pos),
+        senders=(g.senders + offsets).reshape(-1),
+        receivers=(g.receivers + offsets).reshape(-1),
+        edge_attr=flat(g.edge_attr),
+        node_mask=flat(g.node_mask),
+        edge_mask=flat(g.edge_mask),
+        y=flat(g.y),
+        exclude_mask=flat(g.exclude_mask),
+    )
+
+
 def concat_graphs(graphs: list) -> Graph:
     """Batch same-shape padded Graphs into one flat graph by concatenation,
     offsetting edge indices by each graph's node count — the static-shape

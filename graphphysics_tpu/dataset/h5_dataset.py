@@ -143,5 +143,8 @@ class H5Dataset(BaseDataset):
         return state
 
     def __del__(self):
-        if getattr(self, "_file", None) is not None:
-            self._file.close()
+        try:
+            if getattr(self, "_file", None) is not None:
+                self._file.close()
+        except Exception:
+            pass  # interpreter shutdown: h5py internals may already be gone

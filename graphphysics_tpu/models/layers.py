@@ -30,12 +30,19 @@ class RMSNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         scale = self.param("scale", nn.initializers.ones, (self.dim,))
+
+        def safe_norm(v):
+            # ||v|| with a zero (not NaN) gradient at v == 0 — matches torch's
+            # norm subgradient; an all-zero row is reachable through ReLU.
+            sq = jnp.sum(v * v, axis=-1, keepdims=True)
+            return jnp.sqrt(jnp.maximum(sq, 1e-24))
+
         if self.p < 0.0 or self.p > 1.0:
-            norm_x = jnp.linalg.norm(x, axis=-1, keepdims=True)
+            norm_x = safe_norm(x)
             d_x = self.dim
         else:
             partial_size = int(self.dim * self.p)
-            norm_x = jnp.linalg.norm(x[..., :partial_size], axis=-1, keepdims=True)
+            norm_x = safe_norm(x[..., :partial_size])
             d_x = partial_size
         rms_x = norm_x * d_x ** (-0.5)
         x_normed = x / (rms_x + self.eps)

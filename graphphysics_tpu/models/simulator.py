@@ -116,26 +116,52 @@ class Simulator(nn.Module):
         )
         return jnp.concatenate([features, one_hot], axis=1)
 
+    def accumulate_stats(self, graph: Graph) -> jax.Array:
+        """Fold one batch into the three normalizers WITHOUT running the model.
+
+        Used by the data-parallel step: each shard accumulates its local
+        slice, the deltas are psum-merged, and the forward then normalizes
+        with the merged (global-batch) statistics — reproducing single-device
+        normalization exactly (the sums are linear in the data).
+        """
+        pre_target = self._pre_target(graph)
+        self._output_normalizer(
+            graph.y - pre_target, accumulate=True, mask=graph.node_mask
+        )
+        self._node_normalizer(
+            self._build_node_features(graph), accumulate=True, mask=graph.node_mask
+        )
+        if self._edge_normalizer is not None and graph.edge_attr is not None:
+            self._edge_normalizer(
+                graph.edge_attr, accumulate=True, mask=graph.edge_mask
+            )
+        return jnp.zeros(())
+
     def __call__(
-        self, graph: Graph, is_training: bool = True
+        self,
+        graph: Graph,
+        is_training: bool = True,
+        accumulate_stats: Optional[bool] = None,
     ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
         cfg = self.config
+        if accumulate_stats is None:
+            accumulate_stats = is_training
 
         # Normalized delta target (reference simulator.py:206-224).
         pre_target = self._pre_target(graph)
         target_delta = graph.y - pre_target
         target_delta_normalized = self._output_normalizer(
-            target_delta, accumulate=is_training, mask=graph.node_mask
+            target_delta, accumulate=accumulate_stats, mask=graph.node_mask
         )
 
         node_features = self._build_node_features(graph)
         node_features_normalized = self._node_normalizer(
-            node_features, accumulate=is_training, mask=graph.node_mask
+            node_features, accumulate=accumulate_stats, mask=graph.node_mask
         )
         edge_attr = graph.edge_attr
         if self._edge_normalizer is not None and edge_attr is not None:
             edge_attr = self._edge_normalizer(
-                edge_attr, accumulate=is_training, mask=graph.edge_mask
+                edge_attr, accumulate=accumulate_stats, mask=graph.edge_mask
             )
 
         model_graph = graph.replace(x=node_features_normalized, edge_attr=edge_attr)

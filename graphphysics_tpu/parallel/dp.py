@@ -1,0 +1,168 @@
+"""Data-parallel training step over a named mesh (``shard_map`` + collectives).
+
+Brand-new design (the reference is strictly single-device, SURVEY.md §2.4):
+the stacked batch ``[B, ...]`` shards along the ``data`` axis at graph
+granularity; each device flattens its local graphs into one concat graph,
+computes the masked loss and gradients, and the step reduces with XLA
+collectives over ICI:
+
+- gradients / loss: count-weighted ``psum`` so the result is bit-equivalent
+  (up to fp reduction order) to the single-device masked mean over the global
+  batch,
+- normalizer running statistics: sum-deltas are ``psum``-merged while the
+  accumulation *call* count advances by one per global step, reproducing
+  single-device statistics exactly (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from graphphysics_tpu.core.graph import Graph, flatten_batched_graph
+from graphphysics_tpu.core.normalizer import NormalizerState
+from graphphysics_tpu.parallel.mesh import DATA_AXIS
+from graphphysics_tpu.training import losses as losses_mod
+
+
+def merge_normalizer_states(old, new, axis_name: str):
+    """psum-merge per-shard normalizer deltas so multi-chip statistics match
+    single-device ones: row sums/counts add across shards, the accumulation
+    call counter advances once per global step."""
+
+    def merge(o: NormalizerState, n: NormalizerState) -> NormalizerState:
+        return NormalizerState(
+            acc_count=o.acc_count + jax.lax.psum(n.acc_count - o.acc_count, axis_name),
+            num_accumulations=o.num_accumulations
+            + jax.lax.pmean(n.num_accumulations - o.num_accumulations, axis_name),
+            acc_sum=o.acc_sum + jax.lax.psum(n.acc_sum - o.acc_sum, axis_name),
+            acc_sum_sq=o.acc_sum_sq
+            + jax.lax.psum(n.acc_sum_sq - o.acc_sum_sq, axis_name),
+        )
+
+    is_state = lambda x: isinstance(x, NormalizerState)
+    return jax.tree_util.tree_map(merge, old, new, is_leaf=is_state)
+
+
+def make_dp_train_step(
+    sim,
+    tx: optax.GradientTransformation,
+    masks: Sequence[int],
+    mesh: Mesh,
+    axis_name: str = DATA_AXIS,
+    loss_kind: str = "l2",
+    gmm_kwargs: dict | None = None,
+) -> Callable:
+    """Build the jitted SPMD train step: ``step(state, stacked_batch)`` where
+    state is replicated and the batch leaves are ``[B, ...]`` sharded on
+    axis 0."""
+    nti = sim.config.node_type_index
+    masks = [int(m) for m in masks]
+    gmm_kwargs = gmm_kwargs or {}
+
+    def local_loss(target, out, node_type, node_valid, exclude_mask):
+        mask = losses_mod.node_type_mask(node_type, masks, node_valid, exclude_mask)
+        if loss_kind == "l2":
+            per_row = jnp.mean((out - target) ** 2, axis=-1)
+        elif loss_kind == "diag_gmm":
+            # reuse the masked-mean NLL by asking for per-row values
+            per_row = _diag_gmm_per_row(target, out, **gmm_kwargs)
+        else:
+            raise ValueError(loss_kind)
+        w = mask.astype(per_row.dtype)
+        return jnp.sum(per_row * w), jnp.sum(w)
+
+    def per_shard(params, normalizer, opt_state, batch: Graph):
+        graph = flatten_batched_graph(batch)
+
+        # Phase 1: accumulate local statistics, psum-merge the deltas so the
+        # forward normalizes with the GLOBAL batch statistics (single-device
+        # parity; sums are linear in the data).
+        from graphphysics_tpu.models.simulator import Simulator
+
+        _, mutated = sim.apply(
+            {"params": params, "normalizer": normalizer},
+            graph,
+            method=Simulator.accumulate_stats,
+            mutable=["normalizer"],
+        )
+        merged_norm = merge_normalizer_states(
+            normalizer, mutated["normalizer"], axis_name
+        )
+
+        # Phase 2: forward/backward with merged stats (no re-accumulation).
+        def loss_fn(p):
+            out, target_dn, _ = sim.apply(
+                {"params": p, "normalizer": merged_norm},
+                graph,
+                is_training=True,
+                accumulate_stats=False,
+            )
+            node_type = graph.x[:, nti].astype(jnp.int32)
+            loss_sum, count = local_loss(
+                target_dn, out, node_type, graph.node_mask, graph.exclude_mask
+            )
+            # local masked mean for the backward pass; re-weighted globally
+            loss = loss_sum / jnp.maximum(count, 1.0)
+            return loss, count
+
+        (loss, count), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        total = jax.lax.psum(count, axis_name)
+        w = count / jnp.maximum(total, 1.0)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g * w, axis_name), grads
+        )
+        gloss = jax.lax.psum(loss * w, axis_name)
+
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, merged_norm, new_opt, gloss
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis_name)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state, batch: Graph):
+        new_params, new_norm, new_opt, loss = sharded(
+            state["params"], state["normalizer"], state["opt_state"], batch
+        )
+        return {
+            "params": new_params,
+            "normalizer": new_norm,
+            "opt_state": new_opt,
+            "step": state["step"] + 1,
+        }, loss
+
+    return step
+
+
+def _diag_gmm_per_row(target, out, d: int, K: int, temperature: float = 1.0):
+    n = out.shape[0]
+    per_comp = 2 * d + 1
+    net = out.reshape(n, K, per_comp)
+    logit = net[..., 0]
+    alpha = jax.nn.softmax(logit, axis=-1)
+    means = net[..., 1 : 1 + d]
+    log_std = net[..., 1 + d : 1 + 2 * d]
+    diff = target[:, None, :] - means
+    std = jnp.exp(log_std) * temperature
+    log_component = jnp.sum(
+        -0.5
+        * (2.0 * jnp.log(std + 1e-12) + diff**2 / (std**2 + 1e-12)
+           + jnp.log(2.0 * jnp.pi)),
+        axis=-1,
+    )
+    log_mixture = jnp.log(alpha + 1e-12) + log_component
+    return -jax.scipy.special.logsumexp(log_mixture, axis=-1)

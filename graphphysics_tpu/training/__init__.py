@@ -14,4 +14,22 @@ __all__ = [
     "gmm_nll_loss",
     "node_type_mask",
     "cosine_warmup_schedule",
+    "Trainer",
+    "rollout",
+    "jitted_rollout",
+    "rollout_rmse",
 ]
+
+
+def __getattr__(name):
+    # Lazy imports: Trainer pulls in the dataset layer; keep the base
+    # `training` import light for kernel-only users.
+    if name == "Trainer":
+        from graphphysics_tpu.training.trainer import Trainer
+
+        return Trainer
+    if name in ("rollout", "jitted_rollout", "rollout_rmse"):
+        from graphphysics_tpu.training import rollout as _r
+
+        return getattr(_r, name)
+    raise AttributeError(name)

@@ -1,0 +1,55 @@
+"""Checkpoint save/restore.
+
+Replaces the reference's two mechanisms (Lightning ``ModelCheckpoint`` +
+``Simulator.save_checkpoint``, ``graphphysics/models/simulator.py:356-405``)
+with one: the full training state pytree — params, the three normalizers'
+running statistics, optimizer state, step/epoch — saved as msgpack of the
+flattened leaves (robust to custom pytree nodes like ``NormalizerState``),
+restored against a template with the same treedef, plus a JSON metadata
+sidecar. The normalizer statistics surviving checkpointing is load-bearing
+(reference ``layers.py:300-313``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax.serialization import msgpack_restore, msgpack_serialize
+
+
+def save_checkpoint(path: str, state: Any, metadata: Optional[dict] = None):
+    leaves = jax.tree_util.tree_leaves(state)
+    payload = {str(i): np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(msgpack_serialize(payload))
+    if metadata is not None:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(metadata, f)
+
+
+def load_checkpoint(path: str, template: Any) -> Any:
+    """Restore into the structure of ``template`` (a freshly-initialized
+    state pytree with matching shapes/treedef)."""
+    with open(path, "rb") as f:
+        payload = msgpack_restore(f.read())
+    treedef = jax.tree_util.tree_structure(template)
+    n = treedef.num_leaves
+    if len(payload) != n:
+        raise ValueError(
+            f"checkpoint has {len(payload)} leaves, template expects {n}"
+        )
+    leaves = [payload[str(i)] for i in range(n)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def load_metadata(path: str) -> dict:
+    meta_path = path + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return {}

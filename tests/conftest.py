@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The TPU tunnel's sitecustomize imports jax at interpreter startup, BEFORE
+# this conftest runs — env vars alone are then too late. Backends initialize
+# lazily, so overriding the config value here still wins.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

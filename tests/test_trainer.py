@@ -1,0 +1,155 @@
+"""End-to-end training tests on the generated cylinder fixture (the analog of
+the reference's Lightning-module tests + CI train-predict pipeline)."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from graphphysics_tpu.dataset import GraphLoader
+from graphphysics_tpu.training.parse_parameters import (
+    get_dataset,
+    get_preprocessing,
+    get_simulator,
+)
+from graphphysics_tpu.training.trainer import Trainer
+from tests.fixtures import write_cylinder_h5
+
+
+@pytest.fixture(scope="module")
+def cylinder_env(tmp_path_factory):
+    # NB: the dir name must not contain "train" — switch_to_val does a
+    # whole-path "train"->"test" replace (reference h5_dataset.py:40-41)
+    d = tmp_path_factory.mktemp("cyl_fit")
+    h5_path, meta_path = write_cylinder_h5(str(d), num_traj=2, steps=8, nx=8, ny=6)
+    shutil.copy(h5_path, str(d / "test.h5"))
+    param = {
+        "dataset": {
+            "extension": "h5",
+            "h5_path": h5_path,
+            "meta_path": meta_path,
+            "khop": 1,
+        },
+        "model": {
+            "type": "epd",
+            "message_passing_num": 2,
+            "hidden_size": 16,
+            "node_input_size": 2,
+            "output_size": 2,
+            "edge_input_size": 3,
+        },
+        "index": {
+            "feature_index_start": 0,
+            "feature_index_end": 2,
+            "output_index_start": 0,
+            "output_index_end": 2,
+            "node_type_index": 2,
+        },
+        "transformations": {
+            "preprocessing": {
+                "noise": 0.02,
+                "noise_index_start": [0],
+                "noise_index_end": [2],
+                "masking": 0,
+            },
+            "world_pos_parameters": {"use": False},
+        },
+    }
+    return d, param
+
+
+def _make(param, tmp, **kw):
+    train_pre = get_preprocessing(param)
+    val_pre = get_preprocessing(param, remove_noise=True)
+    train_ds = get_dataset(param, train_pre)
+    val_ds = get_dataset(param, val_pre, switch_to_val=True)
+    loader = GraphLoader(train_ds, batch_size=2, shuffle=True, prefetch=0)
+    trainer = Trainer(
+        param,
+        learning_rate=1e-3,
+        warmup=5,
+        checkpoint_dir=str(tmp / "ckpt"),
+        metrics_path=str(tmp / "metrics.csv"),
+        rollout_dir=str(tmp / "meshes"),
+        log_every=5,
+        **kw,
+    )
+    return trainer, loader, val_ds
+
+
+def test_fit_decreases_loss_and_validates(cylinder_env):
+    tmp, param = cylinder_env
+    trainer, loader, val_ds = _make(param, tmp)
+    history = trainer.fit(loader, val_dataset=val_ds, num_epochs=3)
+    assert len(history["train_loss"]) == 3
+    assert history["train_loss"][-1] < history["train_loss"][0]
+    assert all(np.isfinite(v) for v in history["val_rmse"])
+    # artifacts
+    assert os.path.exists(tmp / "ckpt" / "state.msgpack")
+    assert os.path.exists(tmp / "metrics.csv")
+    ep0 = tmp / "meshes" / "epoch_0"
+    assert any(str(f).endswith(".xdmf") for f in os.listdir(ep0))
+
+
+def test_checkpoint_resume_roundtrip(cylinder_env):
+    tmp, param = cylinder_env
+    trainer, loader, val_ds = _make(param, tmp)
+    trainer.fit(loader, num_epochs=1)
+    ckpt = str(tmp / "ckpt" / "state.msgpack")
+    step_before = int(trainer.state["step"])
+    norm_before = np.asarray(
+        trainer.state["normalizer"]["node_normalizer"]["state"].acc_sum
+    )
+
+    trainer2, loader2, _ = _make(param, tmp)
+    trainer2.init_state(next(iter(loader2)), num_steps=10)
+    from graphphysics_tpu.training.checkpoint import load_checkpoint, load_metadata
+
+    trainer2.state = load_checkpoint(ckpt, trainer2.state)
+    assert int(trainer2.state["step"]) == step_before
+    np.testing.assert_allclose(
+        np.asarray(trainer2.state["normalizer"]["node_normalizer"]["state"].acc_sum),
+        norm_before,
+    )
+    assert load_metadata(ckpt)["epoch"] == 1
+
+
+def test_predict_writes_xdmf(cylinder_env, tmp_path):
+    tmp, param = cylinder_env
+    trainer, loader, val_ds = _make(param, tmp)
+    trainer.fit(loader, num_epochs=1)
+    out = trainer.predict(val_ds, save_dir=str(tmp_path / "predictions"))
+    assert len(out) == val_ds.size_dataset
+    files = os.listdir(tmp_path / "predictions")
+    assert sum(f.endswith(".xdmf") for f in files) == val_ds.size_dataset
+    # read back one prediction file through the first-party reader
+    from graphphysics_tpu.utils.xdmf import XdmfTimeSeriesReader
+
+    fn = [f for f in files if f.endswith(".xdmf")][0]
+    with XdmfTimeSeriesReader(str(tmp_path / "predictions" / fn)) as r:
+        assert r.num_steps == val_ds.trajectory_length - 1
+        _, pd, _ = r.read_data(0)
+        assert "prediction" in pd
+
+
+def test_cli_train_smoke(cylinder_env, tmp_path, monkeypatch):
+    tmp, param = cylinder_env
+    cfg_path = tmp_path / "cfg.json"
+    with open(cfg_path, "w") as f:
+        json.dump(param, f)
+    monkeypatch.chdir(tmp_path)
+    from graphphysics_tpu.cli.train import main
+
+    rc = main(
+        [
+            "--training_parameters_path", str(cfg_path),
+            "--num_epochs", "1",
+            "--batch_size", "2",
+            "--warmup", "2",
+            "--val_trajectories", "1",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(tmp_path / "checkpoints" / "state.msgpack")
