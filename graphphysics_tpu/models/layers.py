@@ -8,7 +8,7 @@ torch-scatter/DGL, and pure-functional parameters.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -61,14 +61,19 @@ class MLP(nn.Module):
     out_size: int
     nb_of_layers: int = 4
     layer_norm: bool = True
+    dtype: Any = None  # compute/activation dtype (e.g. jnp.bfloat16); params stay f32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         assert self.nb_of_layers >= 2
-        x = nn.relu(nn.Dense(self.hidden_size, name="dense_0")(x))
+        x = nn.relu(nn.Dense(self.hidden_size, dtype=self.dtype, name="dense_0")(x))
         for i in range(self.nb_of_layers - 2):
-            x = nn.relu(nn.Dense(self.hidden_size, name=f"dense_{i + 1}")(x))
-        x = nn.Dense(self.out_size, name=f"dense_{self.nb_of_layers - 1}")(x)
+            x = nn.relu(
+                nn.Dense(self.hidden_size, dtype=self.dtype, name=f"dense_{i + 1}")(x)
+            )
+        x = nn.Dense(
+            self.out_size, dtype=self.dtype, name=f"dense_{self.nb_of_layers - 1}"
+        )(x)
         if self.layer_norm:
             x = RMSNorm(self.out_size, name="norm")(x)
         return x
@@ -79,12 +84,15 @@ class GatedMLP(nn.Module):
 
     hidden_size: int
     expansion_factor: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         width = self.expansion_factor * self.hidden_size
-        left = nn.gelu(nn.Dense(width, name="linear1")(x), approximate=False)
-        right = nn.Dense(width, name="linear2")(x)
+        left = nn.gelu(
+            nn.Dense(width, dtype=self.dtype, name="linear1")(x), approximate=False
+        )
+        right = nn.Dense(width, dtype=self.dtype, name="linear2")(x)
         return left * right
 
 
@@ -94,12 +102,15 @@ class GatedMLPBlock(nn.Module):
     hidden_size: int
     out_size: int
     expansion_factor: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = RMSNorm(x.shape[-1], name="norm")(x)
-        x = GatedMLP(self.hidden_size, self.expansion_factor, name="gated")(x)
-        return nn.Dense(self.out_size, name="out")(x)
+        x = GatedMLP(
+            self.hidden_size, self.expansion_factor, dtype=self.dtype, name="gated"
+        )(x)
+        return nn.Dense(self.out_size, dtype=self.dtype, name="out")(x)
 
 
 class GMMHead(nn.Module):
@@ -108,12 +119,16 @@ class GMMHead(nn.Module):
 
     d: int
     num_components: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         per_component = self.d + (self.d * (self.d + 1)) // 2 + 1
-        h = nn.Dense(x.shape[-1], name="pre_proj")(x)
-        return nn.Dense(self.num_components * per_component, name="proj")(h)
+        h = nn.Dense(x.shape[-1], dtype=self.dtype, name="pre_proj")(x)
+        # final projection in f32: distribution parameters need the range
+        return nn.Dense(self.num_components * per_component, name="proj")(
+            h.astype(jnp.float32)
+        )
 
 
 class DiagonalGMMHead(nn.Module):
@@ -122,12 +137,15 @@ class DiagonalGMMHead(nn.Module):
 
     d: int
     num_components: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         per_component = 2 * self.d + 1
-        h = nn.Dense(x.shape[-1], name="pre_proj")(x)
-        return nn.Dense(self.num_components * per_component, name="proj")(h)
+        h = nn.Dense(x.shape[-1], dtype=self.dtype, name="pre_proj")(x)
+        return nn.Dense(self.num_components * per_component, name="proj")(
+            h.astype(jnp.float32)
+        )
 
 
 class Attention(nn.Module):
@@ -147,6 +165,7 @@ class Attention(nn.Module):
     use_proj_bias: bool = True
     use_separate_proj_weight: bool = True
     scale_by_head_dim: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -160,13 +179,18 @@ class Attention(nn.Module):
         head_dim = self.output_dim // self.num_heads
         n = x.shape[0]
 
-        q_proj = nn.Dense(self.output_dim, use_bias=self.use_proj_bias, name="q_proj")
+        q_proj = nn.Dense(
+            self.output_dim, use_bias=self.use_proj_bias, dtype=self.dtype,
+            name="q_proj",
+        )
         if self.use_separate_proj_weight:
             k_proj = nn.Dense(
-                self.output_dim, use_bias=self.use_proj_bias, name="k_proj"
+                self.output_dim, use_bias=self.use_proj_bias, dtype=self.dtype,
+                name="k_proj",
             )
             v_proj = nn.Dense(
-                self.output_dim, use_bias=self.use_proj_bias, name="v_proj"
+                self.output_dim, use_bias=self.use_proj_bias, dtype=self.dtype,
+                name="v_proj",
             )
         else:
             # Reference shares the q weight matrix across q/k/v (layers.py:497-501).
@@ -190,7 +214,10 @@ class Attention(nn.Module):
         )
         # Back to the reference's flat layout: [N, H, Dh] -> (N, Dh, H) -> [N, D].
         y = y.transpose(0, 2, 1).reshape(n, self.output_dim)
-        return nn.Dense(self.output_dim, use_bias=self.use_proj_bias, name="proj")(y)
+        return nn.Dense(
+            self.output_dim, use_bias=self.use_proj_bias, dtype=self.dtype,
+            name="proj",
+        )(y)
 
 
 class TransformerBlock(nn.Module):
@@ -201,6 +228,7 @@ class TransformerBlock(nn.Module):
     num_heads: int = 4
     use_proj_bias: bool = True
     use_separate_proj_weight: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -215,14 +243,16 @@ class TransformerBlock(nn.Module):
             num_heads=self.num_heads,
             use_proj_bias=self.use_proj_bias,
             use_separate_proj_weight=self.use_separate_proj_weight,
+            dtype=self.dtype,
             name="attention",
         )
         x = x + attn(
             RMSNorm(self.output_dim, name="norm1")(x), senders, receivers, edge_mask
-        )
+        ).astype(x.dtype)
         x = x + GatedMLPBlock(
-            hidden_size=self.output_dim, out_size=self.output_dim, name="gated_mlp"
-        )(RMSNorm(self.output_dim, name="norm2")(x))
+            hidden_size=self.output_dim, out_size=self.output_dim, dtype=self.dtype,
+            name="gated_mlp",
+        )(RMSNorm(self.output_dim, name="norm2")(x)).astype(x.dtype)
         return x
 
 
@@ -238,6 +268,7 @@ class GraphNetBlock(nn.Module):
     hidden_size: int
     nb_of_layers: int = 4
     layer_norm: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -256,6 +287,7 @@ class GraphNetBlock(nn.Module):
             out_size=self.hidden_size,
             nb_of_layers=self.nb_of_layers,
             layer_norm=self.layer_norm,
+            dtype=self.dtype,
             name="edge_block",
         )(edge_in)
 
@@ -268,7 +300,11 @@ class GraphNetBlock(nn.Module):
             out_size=self.hidden_size,
             nb_of_layers=self.nb_of_layers,
             layer_norm=self.layer_norm,
+            dtype=self.dtype,
             name="node_block",
         )(node_in)
 
-        return x + node_update, edge_attr + edge_update
+        return (
+            x + node_update.astype(x.dtype),
+            edge_attr + edge_update.astype(edge_attr.dtype),
+        )

@@ -7,10 +7,11 @@ in the train step.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from graphphysics_tpu.core.graph import Graph
 from graphphysics_tpu.models.layers import (
@@ -22,18 +23,24 @@ from graphphysics_tpu.models.layers import (
 )
 
 
-def _decoder(hidden_size, output_size, num_mixture_components, use_diagonal, name):
+def _decoder(
+    hidden_size, output_size, num_mixture_components, use_diagonal, dtype, name
+):
     """Regular MLP decoder (no output norm) or a GMM head, per
-    ``processors.py:84-105``."""
+    ``processors.py:84-105``. The decoder computes in ``dtype`` but always
+    emits float32 predictions."""
     if num_mixture_components == 0:
         return MLP(
             hidden_size=hidden_size,
             out_size=output_size,
             layer_norm=False,
+            dtype=dtype,
             name=name,
         )
     head = DiagonalGMMHead if use_diagonal else GMMHead
-    return head(d=output_size, num_components=num_mixture_components, name=name)
+    return head(
+        d=output_size, num_components=num_mixture_components, dtype=dtype, name=name
+    )
 
 
 class EncodeProcessDecode(nn.Module):
@@ -50,6 +57,7 @@ class EncodeProcessDecode(nn.Module):
     temperature: Optional[float] = None
     use_diagonal: bool = True
     remat: bool = False
+    dtype: Any = None  # compute dtype (bf16 for TPU speed); params & outputs f32
 
     @property
     def d(self) -> int:
@@ -63,26 +71,32 @@ class EncodeProcessDecode(nn.Module):
     def __call__(self, graph: Graph) -> jax.Array:
         x, edge_attr = graph.x, graph.edge_attr
         if not self.only_processor:
-            x = MLP(self.hidden_size, self.hidden_size, name="nodes_encoder")(x)
-            edge_attr = MLP(self.hidden_size, self.hidden_size, name="edges_encoder")(
-                edge_attr
-            )
+            x = MLP(
+                self.hidden_size, self.hidden_size, dtype=self.dtype,
+                name="nodes_encoder",
+            )(x)
+            edge_attr = MLP(
+                self.hidden_size, self.hidden_size, dtype=self.dtype,
+                name="edges_encoder",
+            )(edge_attr)
 
         block_cls = nn.remat(GraphNetBlock) if self.remat else GraphNetBlock
         for i in range(self.message_passing_num):
-            x, edge_attr = block_cls(hidden_size=self.hidden_size, name=f"block_{i}")(
-                x, edge_attr, graph.senders, graph.receivers, graph.edge_mask
-            )
+            x, edge_attr = block_cls(
+                hidden_size=self.hidden_size, dtype=self.dtype, name=f"block_{i}"
+            )(x, edge_attr, graph.senders, graph.receivers, graph.edge_mask)
 
         if self.only_processor:
             return x
-        return _decoder(
+        out = _decoder(
             self.hidden_size,
             self.output_size,
             self.num_mixture_components,
             self.use_diagonal,
+            self.dtype,
             name="decode_module",
         )(x)
+        return out.astype(jnp.float32)
 
 
 class EncodeTransformDecode(nn.Module):
@@ -102,6 +116,7 @@ class EncodeTransformDecode(nn.Module):
     temperature: Optional[float] = None
     use_diagonal: bool = True
     remat: bool = False
+    dtype: Any = None  # compute dtype (bf16 for TPU speed); params & outputs f32
 
     @property
     def d(self) -> int:
@@ -115,7 +130,10 @@ class EncodeTransformDecode(nn.Module):
     def __call__(self, graph: Graph) -> jax.Array:
         x = graph.x
         if not self.only_processor:
-            x = MLP(self.hidden_size, self.hidden_size, name="nodes_encoder")(x)
+            x = MLP(
+                self.hidden_size, self.hidden_size, dtype=self.dtype,
+                name="nodes_encoder",
+            )(x)
 
         block_cls = nn.remat(TransformerBlock) if self.remat else TransformerBlock
         for i in range(self.message_passing_num):
@@ -124,15 +142,18 @@ class EncodeTransformDecode(nn.Module):
                 num_heads=self.num_heads,
                 use_proj_bias=self.use_proj_bias,
                 use_separate_proj_weight=self.use_separate_proj_weight,
+                dtype=self.dtype,
                 name=f"block_{i}",
             )(x, graph.senders, graph.receivers, graph.edge_mask)
 
         if self.only_processor:
             return x
-        return _decoder(
+        out = _decoder(
             self.hidden_size,
             self.output_size,
             self.num_mixture_components,
             self.use_diagonal,
+            self.dtype,
             name="decode_module",
         )(x)
+        return out.astype(jnp.float32)

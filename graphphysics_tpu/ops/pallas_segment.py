@@ -1,0 +1,234 @@
+"""Pallas TPU kernel: segment-sum over a receiver-sorted (CSR) edge list.
+
+First-party replacement for the torch-scatter ``aggr="add"`` aggregation
+(reference ``graphphysics/models/layers.py:649,694``) on its hot path. XLA's
+scatter lowering moves ~40 GB/s regardless of index locality (measured on
+TPU v5e); this kernel exploits the CSR structure instead:
+
+- the host sorts edges by receiver once per topology (free: done at dataset
+  build) and provides per-node-block edge offsets,
+- the grid runs one program per block of ``BN`` consecutive receiver rows,
+- each program streams its edge range from HBM in ``BE``-edge chunks
+  (async DMA) and reduces a chunk with a one-hot matmul on the MXU:
+  ``out[BN, H] += onehot[BN, BE] @ data[BE, H]`` — turning the scatter into
+  dense systolic work with zero write conflicts (each out row belongs to
+  exactly one program).
+
+The public entry ``csr_segment_sum`` carries a custom VJP (gradient of a
+segment-sum is a gather), so it can replace ``jax.ops.segment_sum`` inside
+the training step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Defaults tuned for H=64..128, f32.
+BLOCK_NODES = 256  # receiver rows per program (out block [BN, H])
+BLOCK_EDGES = 512  # edges DMA'd + reduced per chunk
+
+
+def compute_block_offsets(
+    receivers_sorted: np.ndarray, num_nodes: int, block_nodes: int = BLOCK_NODES
+) -> np.ndarray:
+    """Host-side: for each node block b, the first edge index whose receiver
+    is >= b*block_nodes. Length ``num_blocks + 1``; block b's edge range is
+    ``[offsets[b], offsets[b+1])``. receivers_sorted must be ascending."""
+    num_blocks = -(-num_nodes // block_nodes)
+    bounds = np.arange(1, num_blocks + 1) * block_nodes
+    offsets = np.searchsorted(receivers_sorted, bounds, side="left")
+    return np.concatenate([[0], offsets]).astype(np.int32)
+
+
+def compute_max_chunks(
+    offsets: np.ndarray, block_edges: int = BLOCK_EDGES
+) -> int:
+    """Host-side: number of BE-aligned windows needed by the busiest block."""
+    offsets = np.asarray(offsets, np.int64)
+    first = offsets[:-1] // block_edges
+    last = -(-(offsets[1:] + 1) // block_edges)
+    return int(np.maximum(last - first, 1).max())
+
+
+def _kernel(
+    offsets_ref,  # scalar prefetch: [num_blocks + 1] int32
+    data_ref,  # HBM: [E_pad, H]
+    recv_ref,  # HBM: [1, E_pad] int32 (sorted)
+    out_ref,  # VMEM: [BN, H]
+    data_scratch,  # VMEM: [BE, H]
+    recv_scratch,  # VMEM: [1, BE] int32
+    sems,  # DMA semaphores (2,)
+    *,
+    block_nodes: int,
+    block_edges: int,
+    max_chunks: int,
+):
+    b = pl.program_id(0)
+    row0 = b * block_nodes
+    e_start = offsets_ref[b]
+    e_end = offsets_ref[b + 1]
+    # Chunks are BE-ALIGNED absolute windows covering [e_start, e_end): DMA
+    # offsets stay tiling-aligned (Mosaic requirement), and edges belonging
+    # to neighboring blocks inside a straddling chunk are dropped for free by
+    # the one-hot row-range compare (their receivers fall outside
+    # [row0, row0 + BN)); padded edges carry receiver == num_nodes likewise.
+    c0 = e_start // block_edges
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    def start_chunk(i, slot):
+        c = c0 + i
+
+        @pl.when(c * block_edges < e_end)
+        def _():
+            off = pl.multiple_of(c * block_edges, block_edges)
+            pltpu.make_async_copy(
+                data_ref.at[pl.ds(off, block_edges), :],
+                data_scratch.at[slot],
+                sems.at[slot, 0],
+            ).start()
+            pltpu.make_async_copy(
+                recv_ref.at[:, pl.ds(off, block_edges)],
+                recv_scratch.at[slot],
+                sems.at[slot, 1],
+            ).start()
+
+    start_chunk(0, 0)
+
+    def body(i, _):
+        c = c0 + i
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(c * block_edges < e_end)
+        def _():
+            # overlap: kick off the next chunk's DMA before reducing this one
+            start_chunk(i + 1, 1 - slot)
+            off = pl.multiple_of(c * block_edges, block_edges)
+            pltpu.make_async_copy(
+                data_ref.at[pl.ds(off, block_edges), :],
+                data_scratch.at[slot],
+                sems.at[slot, 0],
+            ).wait()
+            pltpu.make_async_copy(
+                recv_ref.at[:, pl.ds(off, block_edges)],
+                recv_scratch.at[slot],
+                sems.at[slot, 1],
+            ).wait()
+
+            recv = recv_scratch[slot]  # [1, BE]
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (block_nodes, block_edges), 0
+            ) + row0
+            onehot = jnp.where(rows == recv, 1.0, 0.0).astype(jnp.float32)
+            # HIGHEST: exact f32 one-hot reduction (default MXU precision
+            # truncates the data to bf16 — ~1e-2 error, breaks parity)
+            out_ref[:] += jax.lax.dot_general(
+                onehot,
+                data_scratch[slot],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        return 0
+
+    jax.lax.fori_loop(0, max_chunks, body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_nodes", "block_nodes", "block_edges", "max_chunks")
+)
+def _csr_segment_sum_fwd_impl(
+    data: jax.Array,
+    receivers: jax.Array,
+    offsets: jax.Array,
+    num_nodes: int,
+    block_nodes: int,
+    block_edges: int,
+    max_chunks: int,
+) -> jax.Array:
+    e, h = data.shape
+    num_blocks = -(-num_nodes // block_nodes)
+    # pad the edge axis to a BE multiple so every aligned window is in bounds
+    e_pad = (-(-(e + 1) // block_edges)) * block_edges
+    data_p = jnp.zeros((e_pad, h), data.dtype).at[:e].set(data)
+    recv_p = jnp.full((1, e_pad), num_nodes, jnp.int32).at[0, :e].set(receivers)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_nodes, h), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_edges, h), jnp.float32),
+            pltpu.VMEM((2, 1, block_edges), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel,
+        block_nodes=block_nodes,
+        block_edges=block_edges,
+        max_chunks=max_chunks,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (num_blocks * block_nodes, h), jnp.float32
+        ),
+    )(offsets, data_p, recv_p)
+    return out[:num_nodes].astype(data.dtype)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
+)
+def csr_segment_sum(
+    data: jax.Array,
+    receivers: jax.Array,
+    offsets: jax.Array,
+    num_nodes: int,
+    block_nodes: int = BLOCK_NODES,
+    block_edges: int = BLOCK_EDGES,
+    max_chunks: Optional[int] = None,
+) -> jax.Array:
+    """Sum ``data`` ([E, H]) rows into ``num_nodes`` rows by sorted
+    ``receivers``. ``offsets`` is ``compute_block_offsets(receivers, N)``.
+    Padded edges must carry zero rows in ``data`` (or receiver == N).
+    """
+    if max_chunks is None:
+        max_chunks = -(-data.shape[0] // block_edges) + 1
+    return _csr_segment_sum_fwd_impl(
+        data, receivers, offsets, num_nodes, block_nodes, block_edges, max_chunks
+    )
+
+
+def _fwd(data, receivers, offsets, num_nodes, block_nodes, block_edges, max_chunks):
+    if max_chunks is None:
+        max_chunks = -(-data.shape[0] // block_edges) + 1
+    out = _csr_segment_sum_fwd_impl(
+        data, receivers, offsets, num_nodes, block_nodes, block_edges, max_chunks
+    )
+    return out, receivers
+
+
+def _bwd(num_nodes, block_nodes, block_edges, max_chunks, receivers, g):
+    # d/d(data) of segment-sum = gather at receivers; receivers are sorted so
+    # this is a locality-friendly gather (XLA handles it adequately)
+    return jnp.take(g, receivers, axis=0), None, None
+
+
+csr_segment_sum.defvjp(_fwd, _bwd)

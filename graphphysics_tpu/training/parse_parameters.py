@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Any, Callable, Dict, List, Optional, Union
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from graphphysics_tpu.core.nodetype import NodeType
 from graphphysics_tpu.dataset import H5Dataset, XDMFDataset, build_preprocessing
@@ -66,6 +67,11 @@ def get_model(param: Dict[str, Any], only_processor: bool = False) -> nn.Module:
     node_input_size = param["model"]["node_input_size"] + NodeType.SIZE
     num_mixture_components = param["model"].get("num_mixture_components", 0)
     temperature = param["model"].get("temperature")
+    # TPU extension: "precision": "bf16" runs the matmul-heavy compute path
+    # in bfloat16 (params/outputs stay f32)
+    precision = param["model"].get("precision", "f32")
+    dtype = {"f32": None, "float32": None, "bf16": jnp.bfloat16,
+             "bfloat16": jnp.bfloat16}[precision]
 
     if model_type == "epd":
         return EncodeProcessDecode(
@@ -77,6 +83,7 @@ def get_model(param: Dict[str, Any], only_processor: bool = False) -> nn.Module:
             only_processor=only_processor,
             num_mixture_components=num_mixture_components,
             temperature=temperature,
+            dtype=dtype,
         )
     if model_type == "transformer":
         return EncodeTransformDecode(
@@ -88,6 +95,7 @@ def get_model(param: Dict[str, Any], only_processor: bool = False) -> nn.Module:
             only_processor=only_processor,
             num_mixture_components=num_mixture_components,
             temperature=temperature,
+            dtype=dtype,
         )
     raise ValueError(f"Model type '{model_type}' not supported.")
 
