@@ -17,9 +17,17 @@ import jax
 import numpy as np
 
 
+_META_FIELDS = ("ell_degree",)
+
+
 def _dc(cls):
-    fields = [f.name for f in dataclasses.fields(cls)]
-    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    fields = [
+        f.name for f in dataclasses.fields(cls) if f.name not in _META_FIELDS
+    ]
+    meta = [f.name for f in dataclasses.fields(cls) if f.name in _META_FIELDS]
+    return jax.tree_util.register_dataclass(
+        cls, data_fields=fields, meta_fields=meta
+    )
 
 
 @_dc
@@ -40,6 +48,11 @@ class Graph:
         exclude_mask: ``[N]`` bool or None; True for nodes excluded from the
             loss (the MeshMask ``selected_indexes`` of the reference,
             ``graphphysics/utils/loss.py:10-25``).
+        twin_perm: ``[E]`` int32 or None (ELL layout): slot index of the
+            reversed edge — lets gather backward run as gather+dense-reduce.
+        ell_degree: static; if set, edges are in fixed-degree ELL layout —
+            slot ``e`` belongs to owner node ``e // ell_degree`` and
+            ``receivers[e] == e // ell_degree`` (see ``topology.ell``).
     """
 
     x: jax.Array
@@ -51,6 +64,8 @@ class Graph:
     edge_mask: jax.Array
     y: Optional[jax.Array]
     exclude_mask: Optional[jax.Array] = None
+    twin_perm: Optional[jax.Array] = None
+    ell_degree: Optional[int] = None
 
     @property
     def num_nodes(self) -> int:
@@ -147,6 +162,59 @@ def stack_graphs(graphs: list) -> Graph:
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *graphs)
 
 
+def pad_graph_ell_np(
+    x: np.ndarray,
+    pos: np.ndarray,
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    n_pad: int,
+    degree: int,
+    edge_attr: Optional[np.ndarray] = None,
+    y: Optional[np.ndarray] = None,
+    node_type_index: Optional[int] = None,
+    padding_node_type: int = 8,
+) -> Graph:
+    """Host-side padding into the fixed-degree ELL layout (``topology.ell``):
+    nodes pad to ``n_pad``, edges group by receiver into ``degree`` slots per
+    node (edge count = ``n_pad * degree``). Requires a symmetric edge list."""
+    from graphphysics_tpu.topology.ell import build_ell
+
+    n = x.shape[0]
+    if n_pad < n:
+        raise ValueError(f"pad size too small: nodes {n}->{n_pad}")
+
+    ell = build_ell(senders, receivers, n_pad, degree=degree)
+
+    def pad_rows(a: Optional[np.ndarray], rows: int) -> Optional[np.ndarray]:
+        if a is None:
+            return None
+        out = np.zeros((rows,) + a.shape[1:], dtype=a.dtype)
+        out[: a.shape[0]] = a
+        return out
+
+    x_p = pad_rows(x.astype(np.float32), n_pad)
+    if node_type_index is not None and n_pad > n:
+        x_p[n:, node_type_index] = padding_node_type
+    ea_p = None
+    if edge_attr is not None:
+        ea_p = np.zeros((n_pad * degree, edge_attr.shape[1]), np.float32)
+        ea_p[ell.edge_mask] = edge_attr[ell.edge_perm[ell.edge_mask]]
+    node_mask = np.zeros((n_pad,), dtype=bool)
+    node_mask[:n] = True
+    return Graph(
+        x=x_p,
+        pos=pad_rows(pos.astype(np.float32), n_pad),
+        senders=ell.senders,
+        receivers=ell.receivers,
+        edge_attr=ea_p,
+        node_mask=node_mask,
+        edge_mask=ell.edge_mask,
+        y=pad_rows(None if y is None else y.astype(np.float32), n_pad),
+        twin_perm=ell.twin_perm,
+        ell_degree=degree,
+    )
+
+
 def flatten_batched_graph(g: Graph) -> "Graph":
     """Device-side (jnp, jit-friendly) flattening of a stacked batch
     ``[B, N, ...]`` into one concat graph ``[B*N, ...]`` with offset edge
@@ -162,6 +230,11 @@ def flatten_batched_graph(g: Graph) -> "Graph":
         return a.reshape((b * a.shape[1],) + a.shape[2:])
 
     offsets = (jnp.arange(b, dtype=g.senders.dtype) * n)[:, None]
+    twin_perm = None
+    if g.twin_perm is not None:
+        e = g.twin_perm.shape[1]
+        e_offsets = (jnp.arange(b, dtype=g.twin_perm.dtype) * e)[:, None]
+        twin_perm = (g.twin_perm + e_offsets).reshape(-1)
     return Graph(
         x=flat(g.x),
         pos=flat(g.pos),
@@ -172,6 +245,8 @@ def flatten_batched_graph(g: Graph) -> "Graph":
         edge_mask=flat(g.edge_mask),
         y=flat(g.y),
         exclude_mask=flat(g.exclude_mask),
+        twin_perm=twin_perm,
+        ell_degree=g.ell_degree,
     )
 
 
@@ -206,6 +281,11 @@ def concat_graphs(graphs: list) -> Graph:
     receivers = np.concatenate(
         [np.asarray(g.receivers) + i * n for i, g in enumerate(graphs)]
     ).astype(np.int32)
+    twin_perm = None
+    if graphs[0].twin_perm is not None:
+        twin_perm = np.concatenate(
+            [np.asarray(g.twin_perm) + i * e for i, g in enumerate(graphs)]
+        ).astype(np.int32)
     return Graph(
         x=cat("x"),
         pos=cat("pos"),
@@ -216,4 +296,6 @@ def concat_graphs(graphs: list) -> Graph:
         edge_mask=cat("edge_mask"),
         y=cat("y"),
         exclude_mask=cat("exclude_mask"),
+        twin_perm=twin_perm,
+        ell_degree=graphs[0].ell_degree,
     )

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from graphphysics_tpu.ops import masked_segment_sum, sparse_graph_attention
+from graphphysics_tpu.ops.ell_ops import ell_gather, ell_repeat, ell_segment_sum
 
 
 class RMSNorm(nn.Module):
@@ -174,6 +175,8 @@ class Attention(nn.Module):
         senders: jax.Array,
         receivers: jax.Array,
         edge_mask: Optional[jax.Array] = None,
+        ell_degree: Optional[int] = None,
+        twin_perm: Optional[jax.Array] = None,
     ) -> jax.Array:
         assert self.output_dim % self.num_heads == 0
         head_dim = self.output_dim // self.num_heads
@@ -211,6 +214,8 @@ class Attention(nn.Module):
             num_nodes=n,
             edge_mask=edge_mask,
             scale=scale,
+            ell_degree=ell_degree,
+            twin_perm=twin_perm,
         )
         # Back to the reference's flat layout: [N, H, Dh] -> (N, Dh, H) -> [N, D].
         y = y.transpose(0, 2, 1).reshape(n, self.output_dim)
@@ -237,6 +242,8 @@ class TransformerBlock(nn.Module):
         senders: jax.Array,
         receivers: jax.Array,
         edge_mask: Optional[jax.Array] = None,
+        ell_degree: Optional[int] = None,
+        twin_perm: Optional[jax.Array] = None,
     ) -> jax.Array:
         attn = Attention(
             output_dim=self.output_dim,
@@ -247,7 +254,12 @@ class TransformerBlock(nn.Module):
             name="attention",
         )
         x = x + attn(
-            RMSNorm(self.output_dim, name="norm1")(x), senders, receivers, edge_mask
+            RMSNorm(self.output_dim, name="norm1")(x),
+            senders,
+            receivers,
+            edge_mask,
+            ell_degree,
+            twin_perm,
         ).astype(x.dtype)
         x = x + GatedMLPBlock(
             hidden_size=self.output_dim, out_size=self.output_dim, dtype=self.dtype,
@@ -278,9 +290,17 @@ class GraphNetBlock(nn.Module):
         senders: jax.Array,
         receivers: jax.Array,
         edge_mask: Optional[jax.Array] = None,
+        ell_degree: Optional[int] = None,
+        twin_perm: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
-        x_recv = jnp.take(x, receivers, axis=0)
-        x_send = jnp.take(x, senders, axis=0)
+        if ell_degree is not None:
+            # ELL fast path: receivers are slot owners -> broadcast; senders
+            # gather with twin-permutation backward; no scatters anywhere.
+            x_recv = ell_repeat(x, ell_degree)
+            x_send = ell_gather(x, senders, twin_perm, ell_degree)
+        else:
+            x_recv = jnp.take(x, receivers, axis=0)
+            x_send = jnp.take(x, senders, axis=0)
         edge_in = jnp.concatenate([edge_attr, x_recv, x_send], axis=-1)
         edge_update = MLP(
             hidden_size=self.hidden_size,
@@ -291,9 +311,12 @@ class GraphNetBlock(nn.Module):
             name="edge_block",
         )(edge_in)
 
-        aggr = masked_segment_sum(
-            edge_update, receivers, num_segments=x.shape[0], mask=edge_mask
-        )
+        if ell_degree is not None:
+            aggr = ell_segment_sum(edge_update, ell_degree, edge_mask)
+        else:
+            aggr = masked_segment_sum(
+                edge_update, receivers, num_segments=x.shape[0], mask=edge_mask
+            )
         node_in = jnp.concatenate([x, aggr], axis=-1)
         node_update = MLP(
             hidden_size=self.hidden_size,

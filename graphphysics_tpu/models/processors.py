@@ -84,7 +84,15 @@ class EncodeProcessDecode(nn.Module):
         for i in range(self.message_passing_num):
             x, edge_attr = block_cls(
                 hidden_size=self.hidden_size, dtype=self.dtype, name=f"block_{i}"
-            )(x, edge_attr, graph.senders, graph.receivers, graph.edge_mask)
+            )(
+                x,
+                edge_attr,
+                graph.senders,
+                graph.receivers,
+                graph.edge_mask,
+                graph.ell_degree,
+                graph.twin_perm,
+            )
 
         if self.only_processor:
             return x
@@ -144,7 +152,14 @@ class EncodeTransformDecode(nn.Module):
                 use_separate_proj_weight=self.use_separate_proj_weight,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(x, graph.senders, graph.receivers, graph.edge_mask)
+            )(
+                x,
+                graph.senders,
+                graph.receivers,
+                graph.edge_mask,
+                graph.ell_degree,
+                graph.twin_perm,
+            )
 
         if self.only_processor:
             return x

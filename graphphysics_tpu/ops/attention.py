@@ -20,6 +20,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from graphphysics_tpu.ops.ell_ops import (
+    ell_gather,
+    ell_repeat,
+    ell_segment_sum,
+    ell_softmax,
+)
 from graphphysics_tpu.ops.segment import masked_segment_sum, segment_softmax
 
 
@@ -32,6 +38,8 @@ def sparse_graph_attention(
     num_nodes: int,
     edge_mask: Optional[jax.Array] = None,
     scale: float = 1.0,
+    ell_degree: Optional[int] = None,
+    twin_perm: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Adjacency-masked attention.
 
@@ -44,10 +52,26 @@ def sparse_graph_attention(
         scale: multiplied into the scores (the reference uses
             ``1/sqrt(num_heads)`` due to its ``(N, Dh, H)`` layout; see
             ``models.layers.Attention``).
+        ell_degree/twin_perm: when the graph is in fixed-degree ELL layout
+            (``topology.ell``), run the scatter-free dense path. The query
+            node is then the slot OWNER (``receivers``) and keys/values come
+            from ``senders`` — the transpose of the COO convention, equal on
+            the symmetric mesh adjacency the reference relies on.
 
     Returns:
         ``[N, H, Dh]`` attention output.
     """
+    if ell_degree is not None:
+        q_e = ell_repeat(q, ell_degree)  # [E, H, Dh]
+        k_e = ell_gather(k, senders, twin_perm, ell_degree)
+        scores = jnp.einsum(
+            "ehd,ehd->eh", q_e, k_e, preferred_element_type=jnp.float32
+        ) * jnp.asarray(scale, q.dtype)
+        attn = ell_softmax(scores, ell_degree, edge_mask)  # [E, H]
+        v_e = ell_gather(v, senders, twin_perm, ell_degree)
+        weighted = v_e * attn[..., None].astype(v_e.dtype)
+        return ell_segment_sum(weighted, ell_degree, edge_mask)
+
     q_e = jnp.take(q, senders, axis=0)  # [E, H, Dh]
     k_e = jnp.take(k, receivers, axis=0)  # [E, H, Dh]
     scores = jnp.einsum(

@@ -53,6 +53,7 @@ class Trainer:
         seed: int = 42,
         log_every: int = 100,
         extra_logger=None,
+        plot_callback=None,
     ):
         self.param = parameters
         self.learning_rate = learning_rate
@@ -69,6 +70,7 @@ class Trainer:
         self.seed = seed
         self.log_every = log_every
         self.extra_logger = extra_logger
+        self.plot_callback = plot_callback
 
         self.sim = get_simulator(parameters)
         self.K = self.sim.model.K
@@ -248,8 +250,11 @@ class Trainer:
             cnt = float(node_mask.sum()) * t * d
             total_se += float(rmse) ** 2 * cnt
             total_cnt += cnt
-            if traj == 0 and save_rollout and self.rollout_dir:
-                self._save_rollout_xdmf(val_dataset, traj, np.asarray(preds), epoch)
+            if traj == 0:
+                if save_rollout and self.rollout_dir:
+                    self._save_rollout_xdmf(val_dataset, traj, np.asarray(preds), epoch)
+                if self.plot_callback is not None:
+                    self.plot_callback(self, val_dataset, epoch, np.asarray(preds))
         return float(np.sqrt(total_se / max(total_cnt, 1.0)))
 
     def _save_rollout_xdmf(self, val_dataset, traj: int, preds: np.ndarray, epoch: int):
