@@ -17,7 +17,7 @@ import jax
 import numpy as np
 
 
-_META_FIELDS = ("ell_degree",)
+_META_FIELDS = ("ell_degree", "partition_axis")
 
 
 def _dc(cls):
@@ -53,6 +53,11 @@ class Graph:
         ell_degree: static; if set, edges are in fixed-degree ELL layout —
             slot ``e`` belongs to owner node ``e // ell_degree`` and
             ``receivers[e] == e // ell_degree`` (see ``topology.ell``).
+        partition_axis: static; if set (edge-partitioned multi-chip graph,
+            ``parallel.graph_partition``), this Graph holds one device's
+            shard inside ``shard_map`` over that mesh axis: node arrays are
+            LOCAL rows, ``receivers`` are LOCAL indices (the segment side),
+            ``senders`` are GLOBAL indices into the all-gathered node table.
     """
 
     x: jax.Array
@@ -66,6 +71,7 @@ class Graph:
     exclude_mask: Optional[jax.Array] = None
     twin_perm: Optional[jax.Array] = None
     ell_degree: Optional[int] = None
+    partition_axis: Optional[str] = None
 
     @property
     def num_nodes(self) -> int:
@@ -247,6 +253,7 @@ def flatten_batched_graph(g: Graph) -> "Graph":
         exclude_mask=flat(g.exclude_mask),
         twin_perm=twin_perm,
         ell_degree=g.ell_degree,
+        partition_axis=g.partition_axis,
     )
 
 

@@ -177,6 +177,7 @@ class Attention(nn.Module):
         edge_mask: Optional[jax.Array] = None,
         ell_degree: Optional[int] = None,
         twin_perm: Optional[jax.Array] = None,
+        partition_axis: Optional[str] = None,
     ) -> jax.Array:
         assert self.output_dim % self.num_heads == 0
         head_dim = self.output_dim // self.num_heads
@@ -216,6 +217,7 @@ class Attention(nn.Module):
             scale=scale,
             ell_degree=ell_degree,
             twin_perm=twin_perm,
+            partition_axis=partition_axis,
         )
         # Back to the reference's flat layout: [N, H, Dh] -> (N, Dh, H) -> [N, D].
         y = y.transpose(0, 2, 1).reshape(n, self.output_dim)
@@ -244,6 +246,7 @@ class TransformerBlock(nn.Module):
         edge_mask: Optional[jax.Array] = None,
         ell_degree: Optional[int] = None,
         twin_perm: Optional[jax.Array] = None,
+        partition_axis: Optional[str] = None,
     ) -> jax.Array:
         attn = Attention(
             output_dim=self.output_dim,
@@ -260,6 +263,7 @@ class TransformerBlock(nn.Module):
             edge_mask,
             ell_degree,
             twin_perm,
+            partition_axis,
         ).astype(x.dtype)
         x = x + GatedMLPBlock(
             hidden_size=self.output_dim, out_size=self.output_dim, dtype=self.dtype,
@@ -292,8 +296,15 @@ class GraphNetBlock(nn.Module):
         edge_mask: Optional[jax.Array] = None,
         ell_degree: Optional[int] = None,
         twin_perm: Optional[jax.Array] = None,
+        partition_axis: Optional[str] = None,
     ) -> Tuple[jax.Array, jax.Array]:
-        if ell_degree is not None:
+        if partition_axis is not None:
+            # Edge-partitioned SPMD: receivers are local; senders index the
+            # all-gathered global node table (backward: reduce_scatter).
+            table = jax.lax.all_gather(x, partition_axis, axis=0, tiled=True)
+            x_recv = jnp.take(x, receivers, axis=0)
+            x_send = jnp.take(table, senders, axis=0)
+        elif ell_degree is not None:
             # ELL fast path: receivers are slot owners -> broadcast; senders
             # gather with twin-permutation backward; no scatters anywhere.
             x_recv = ell_repeat(x, ell_degree)

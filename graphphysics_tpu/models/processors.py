@@ -92,6 +92,7 @@ class EncodeProcessDecode(nn.Module):
                 graph.edge_mask,
                 graph.ell_degree,
                 graph.twin_perm,
+                graph.partition_axis,
             )
 
         if self.only_processor:
@@ -159,6 +160,7 @@ class EncodeTransformDecode(nn.Module):
                 graph.edge_mask,
                 graph.ell_degree,
                 graph.twin_perm,
+                graph.partition_axis,
             )
 
         if self.only_processor:

@@ -40,6 +40,7 @@ def sparse_graph_attention(
     scale: float = 1.0,
     ell_degree: Optional[int] = None,
     twin_perm: Optional[jax.Array] = None,
+    partition_axis: Optional[str] = None,
 ) -> jax.Array:
     """Adjacency-masked attention.
 
@@ -61,6 +62,25 @@ def sparse_graph_attention(
     Returns:
         ``[N, H, Dh]`` attention output.
     """
+    if partition_axis is not None:
+        # Edge-partitioned SPMD (parallel.graph_partition): q at LOCAL segment
+        # nodes (receivers), k/v gathered from the all-gathered global table
+        # at ``senders``; softmax + aggregation are local segment ops. Equals
+        # the COO convention on the symmetric mesh adjacency.
+        k_table = jax.lax.all_gather(k, partition_axis, axis=0, tiled=True)
+        v_table = jax.lax.all_gather(v, partition_axis, axis=0, tiled=True)
+        q_e = jnp.take(q, receivers, axis=0)
+        k_e = jnp.take(k_table, senders, axis=0)
+        scores = jnp.einsum(
+            "ehd,ehd->eh", q_e, k_e, preferred_element_type=jnp.float32
+        ) * jnp.asarray(scale, q.dtype)
+        attn = segment_softmax(
+            scores, receivers, num_segments=num_nodes, mask=edge_mask
+        )
+        v_e = jnp.take(v_table, senders, axis=0)
+        weighted = v_e * attn[..., None].astype(v_e.dtype)
+        return masked_segment_sum(weighted, receivers, num_nodes, mask=edge_mask)
+
     if ell_degree is not None:
         q_e = ell_repeat(q, ell_degree)  # [E, H, Dh]
         k_e = ell_gather(k, senders, twin_perm, ell_degree)

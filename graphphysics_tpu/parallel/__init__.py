@@ -6,9 +6,22 @@ from graphphysics_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
-from graphphysics_tpu.parallel.dp import make_dp_train_step, merge_normalizer_states
+from graphphysics_tpu.parallel.dp import (
+    graph_parallel_forward,
+    make_dp_train_step,
+    make_graph_parallel_train_step,
+    merge_normalizer_states,
+)
+from graphphysics_tpu.parallel.graph_partition import (
+    partition_graph_np,
+    unpartition_rows,
+)
 
 __all__ = [
+    "graph_parallel_forward",
+    "make_graph_parallel_train_step",
+    "partition_graph_np",
+    "unpartition_rows",
     "DATA_AXIS",
     "GRAPH_AXIS",
     "make_mesh",

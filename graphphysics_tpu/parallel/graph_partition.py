@@ -1,0 +1,101 @@
+"""Edge-partitioned graph parallelism — the "sequence parallelism" of mesh
+GNNs (SURVEY.md §2.4 north star; the reference has no distributed support).
+
+A single large mesh graph is partitioned across a ``graph`` mesh axis:
+
+- nodes split into contiguous equal blocks (one per device) — node features,
+  targets, masks, and normalizer statistics are all local rows;
+- every directed edge lives on the device owning its SEGMENT node (the
+  receiver; for the transformer path the dataset emits the transposed edge
+  list, valid on the symmetric mesh adjacency), so segment reductions and
+  softmaxes are conflict-free local ops;
+- the only communication is an ``all_gather`` of the node-feature table per
+  message-passing layer for the ``x[senders]`` gather (XLA lowers the
+  backward to a ``reduce_scatter``) — both ride ICI.
+
+The model code is unchanged: a Graph whose static ``partition_axis`` is set
+routes the gather through the collective (see ``models.layers``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from graphphysics_tpu.core.graph import Graph, round_up
+from graphphysics_tpu.parallel.mesh import GRAPH_AXIS
+
+
+def partition_graph_np(
+    graph: Graph,
+    num_parts: int,
+    axis_name: str = GRAPH_AXIS,
+    edge_multiple: int = 128,
+) -> Graph:
+    """Partition an unpartitioned COO Graph into ``num_parts`` shards stacked
+    on a new leading axis (shard with ``P(axis_name)`` over the mesh).
+
+    Node count must divide evenly (budgets are 128-multiples, so pick
+    ``num_parts`` accordingly). Edges go to the part owning their receiver;
+    per-part edge arrays are padded to the max part size.
+    """
+    if graph.partition_axis is not None:
+        raise ValueError("graph is already partitioned")
+    if graph.ell_degree is not None:
+        raise ValueError("partitioning expects the COO layout")
+    n = graph.num_nodes
+    if n % num_parts:
+        raise ValueError(f"num_nodes {n} not divisible by {num_parts} parts")
+    nl = n // num_parts
+
+    senders = np.asarray(graph.senders)
+    receivers = np.asarray(graph.receivers)
+    edge_mask = np.asarray(graph.edge_mask)
+    part_of_edge = receivers // nl
+
+    counts = np.bincount(part_of_edge, minlength=num_parts)
+    el = round_up(int(counts.max()), edge_multiple)
+
+    def node_field(a):
+        if a is None:
+            return None
+        return np.asarray(a).reshape((num_parts, nl) + np.asarray(a).shape[1:])
+
+    s_p = np.zeros((num_parts, el), np.int32)
+    r_p = np.zeros((num_parts, el), np.int32)
+    m_p = np.zeros((num_parts, el), bool)
+    ea_p = None
+    if graph.edge_attr is not None:
+        ea = np.asarray(graph.edge_attr)
+        ea_p = np.zeros((num_parts, el, ea.shape[1]), ea.dtype)
+    for p in range(num_parts):
+        idx = np.flatnonzero(part_of_edge == p)
+        k = len(idx)
+        # padding edges: self-loop on the part's last (global) node
+        s_p[p] = p * nl + nl - 1
+        r_p[p] = nl - 1
+        s_p[p, :k] = senders[idx]
+        r_p[p, :k] = receivers[idx] - p * nl
+        m_p[p, :k] = edge_mask[idx]
+        if ea_p is not None:
+            ea_p[p, :k] = np.asarray(graph.edge_attr)[idx]
+
+    return Graph(
+        x=node_field(graph.x),
+        pos=node_field(graph.pos),
+        senders=s_p,
+        receivers=r_p,
+        edge_attr=ea_p,
+        node_mask=node_field(graph.node_mask),
+        edge_mask=m_p,
+        y=node_field(graph.y),
+        exclude_mask=node_field(graph.exclude_mask),
+        partition_axis=axis_name,
+    )
+
+
+def unpartition_rows(stacked: np.ndarray) -> np.ndarray:
+    """[P, Nl, ...] node-wise output back to [N, ...] (parts are contiguous)."""
+    a = np.asarray(stacked)
+    return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])

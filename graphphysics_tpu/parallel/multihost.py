@@ -1,0 +1,88 @@
+"""Multi-host (multi-slice / DCN) utilities.
+
+The reference has no distributed runtime at all (SURVEY.md §2.4). On TPU the
+pattern is: ``jax.distributed.initialize`` per host, a global mesh spanning
+all hosts, per-host input sharding, and ``jax.make_array_from_process_local_data``
+to assemble global sharded batches; all collectives stay XLA (ICI intra-slice,
+DCN across slices) — no NCCL/MPI analog needed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize the multi-host runtime (no-op on a single process). On
+    cloud TPU pods the arguments auto-detect from the environment."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address=coordinator_address)
+
+
+def process_local_indices(total: int) -> np.ndarray:
+    """The shard of dataset indices this host is responsible for — the
+    multi-host analog of DataLoader sharding."""
+    p, n = jax.process_index(), jax.process_count()
+    return np.arange(total)[p::n]
+
+
+def global_batch_from_local(batch, mesh, axis_name: str = "data"):
+    """Assemble a globally-sharded batch from this host's local stacked batch
+    (leaves ``[B_local, ...]``); the global batch axis spans all hosts."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree_util.tree_map(
+        lambda a: jax.make_array_from_process_local_data(sharding, np.asarray(a)),
+        batch,
+    )
+
+
+class MultihostGraphLoader:
+    """Wraps a dataset for multi-host training: each host loads its own
+    interleaved subset of items and contributes ``per_host_batch`` graphs to
+    the global batch."""
+
+    def __init__(self, dataset, per_host_batch: int, mesh, shuffle=True, seed=0):
+        self.dataset = dataset
+        self.per_host_batch = per_host_batch
+        self.mesh = mesh
+        self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        per_host = len(self.dataset) // jax.process_count()
+        return per_host // self.per_host_batch
+
+    def __iter__(self):
+        from graphphysics_tpu.core.graph import stack_graphs
+
+        idx = process_local_indices(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self._epoch])
+            )
+            rng.shuffle(idx)
+        for b in range(len(self)):
+            chunk = idx[b * self.per_host_batch : (b + 1) * self.per_host_batch]
+            local = stack_graphs([self.dataset[int(i)] for i in chunk])
+            yield global_batch_from_local(local, self.mesh)
