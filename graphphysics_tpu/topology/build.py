@@ -39,11 +39,18 @@ def face_to_edge(faces: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Triangles ``[F, 3]`` -> undirected deduplicated edge list.
 
     Matches PyG ``T.FaceToEdge``: each triangle contributes its three sides in
-    both directions.
+    both directions. Uses the native C++ kernel when available
+    (``graphphysics_tpu.native``), numpy otherwise — identical output order.
     """
     faces = np.asarray(faces)
     if faces.shape[-1] != 3:
         raise ValueError(f"expected [F, 3] triangles, got {faces.shape}")
+    if len(faces):
+        from graphphysics_tpu.native import face_to_edge_native
+
+        native = face_to_edge_native(faces, int(faces.max()) + 1)
+        if native is not None:
+            return native
     s = np.concatenate([faces[:, 0], faces[:, 1], faces[:, 0]])
     r = np.concatenate([faces[:, 1], faces[:, 2], faces[:, 2]])
     return to_undirected(s, r)
@@ -111,6 +118,11 @@ def k_hop_edges(
     ``A_k = A_k + A_k @ A`` repeated, self-loops removed) on scipy sparse bool."""
     if num_hops <= 1:
         return senders.astype(np.int32), receivers.astype(np.int32)
+    from graphphysics_tpu.native import k_hop_native
+
+    native = k_hop_native(senders, receivers, num_nodes, num_hops)
+    if native is not None:
+        return native
     data = np.ones(len(senders), dtype=bool)
     adj = sp.coo_matrix(
         (data, (senders, receivers)), shape=(num_nodes, num_nodes)

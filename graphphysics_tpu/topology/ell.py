@@ -60,6 +60,22 @@ def build_ell(
     if dmax > degree:
         raise ValueError(f"max in-degree {dmax} exceeds ELL degree {degree}")
 
+    from graphphysics_tpu.native import build_ell_native
+
+    native = build_ell_native(senders, receivers, num_nodes, degree)
+    if native is not None:
+        senders_ell, mask_n, edge_perm_n, twin_n = native
+        return EllLayout(
+            senders=senders_ell,
+            receivers=np.repeat(
+                np.arange(num_nodes, dtype=np.int32), degree
+            ),
+            edge_mask=mask_n,
+            edge_perm=edge_perm_n,
+            twin_perm=twin_n,
+            degree=int(degree),
+        )
+
     owners_all = np.repeat(np.arange(num_nodes, dtype=np.int64), degree)
     n_slots = num_nodes * degree
 

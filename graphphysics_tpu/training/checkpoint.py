@@ -22,14 +22,21 @@ from flax.serialization import msgpack_restore, msgpack_serialize
 
 
 def save_checkpoint(path: str, state: Any, metadata: Optional[dict] = None):
+    """Atomic (write-temp + rename) save: a preemption mid-write never
+    corrupts the previous checkpoint — the recovery story the reference
+    lacks (its failure handling is manual restart, SURVEY.md §5)."""
     leaves = jax.tree_util.tree_leaves(state)
     payload = {str(i): np.asarray(leaf) for i, leaf in enumerate(leaves)}
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(msgpack_serialize(payload))
+    os.replace(tmp, path)
     if metadata is not None:
-        with open(path + ".meta.json", "w") as f:
+        tmp_meta = path + ".meta.json.tmp"
+        with open(tmp_meta, "w") as f:
             json.dump(metadata, f)
+        os.replace(tmp_meta, path + ".meta.json")
 
 
 def load_checkpoint(path: str, template: Any) -> Any:

@@ -1,0 +1,71 @@
+"""Profiling / throughput instrumentation.
+
+The reference has no profiler integration (SURVEY.md §5); this provides the
+TPU equivalents: a ``jax.profiler`` trace context, a throughput meter
+(edges/sec/chip — the framework's primary performance metric, BASELINE.md),
+and an honest step timer.
+
+NOTE on methodology (measured on the tunnel device): per-op times inside a
+``jax.profiler`` trace carry ~0.7 ms/op tracing overhead, so per-op numbers
+are only useful relatively. Wall-clock over a chain of *dependent* steps
+(each step consuming the previous state) is the trustworthy absolute number.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace context (view with TensorBoard / xprof)."""
+    with jax.profiler.trace(log_dir):
+        yield
+
+
+class ThroughputMeter:
+    """Edges/sec (and steps/sec) over a sliding window of train steps."""
+
+    def __init__(self, edges_per_step: int, window: int = 50):
+        self.edges_per_step = edges_per_step
+        self.window = window
+        self._times = []
+
+    def tick(self) -> None:
+        self._times.append(time.perf_counter())
+        if len(self._times) > self.window + 1:
+            self._times.pop(0)
+
+    @property
+    def steps_per_sec(self) -> float:
+        if len(self._times) < 2:
+            return 0.0
+        dt = self._times[-1] - self._times[0]
+        return (len(self._times) - 1) / max(dt, 1e-9)
+
+    @property
+    def edges_per_sec(self) -> float:
+        return self.steps_per_sec * self.edges_per_step
+
+
+def time_chained_steps(
+    step_fn: Callable,
+    state,
+    batch,
+    iters: int = 30,
+    warmup: int = 3,
+):
+    """Honest per-step wall time: run ``iters`` dependent steps (state flows
+    through) and block only at the end. Returns (seconds_per_step, state)."""
+    for _ in range(warmup):
+        state, loss = step_fn(state, batch)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step_fn(state, batch)
+    jax.block_until_ready(loss)
+    return (time.perf_counter() - t0) / iters, state
