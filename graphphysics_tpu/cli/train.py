@@ -40,6 +40,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--val_trajectories", type=int, default=None)
     p.add_argument("--checkpoint_dir", default="checkpoints")
     p.add_argument("--metrics_path", default="metrics.csv")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the batch across all local devices (shard_map)")
     p.add_argument(
         "--external_features",
         default=None,
@@ -100,6 +102,7 @@ def main(argv=None) -> int:
         shuffle=True,
         seed=args.seed,
         prefetch=args.prefetch_factor,
+        collate="stack" if args.data_parallel else "concat",
     )
 
     extra_logger = None
@@ -125,6 +128,7 @@ def main(argv=None) -> int:
         )
     trainer = Trainer(
         parameters,
+        data_parallel=args.data_parallel,
         learning_rate=args.init_lr,
         warmup=args.warmup,
         checkpoint_dir=args.checkpoint_dir,

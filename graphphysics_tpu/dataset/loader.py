@@ -14,7 +14,7 @@ from typing import Iterator, Optional
 
 import numpy as np
 
-from graphphysics_tpu.core.graph import Graph, concat_graphs
+from graphphysics_tpu.core.graph import Graph, concat_graphs, stack_graphs
 
 
 class GraphLoader:
@@ -27,7 +27,11 @@ class GraphLoader:
         drop_last: bool = True,
         prefetch: int = 2,
         num_threads: int = 0,
+        collate: str = "concat",
     ):
+        """``collate``: "concat" (one flat graph per batch — single-device
+        training) or "stack" (leaves ``[B, ...]`` — the data-parallel form
+        sharded over the mesh)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -35,6 +39,9 @@ class GraphLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.num_threads = num_threads
+        if collate not in ("concat", "stack"):
+            raise ValueError(f"unknown collate {collate!r}")
+        self.collate = collate
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -65,7 +72,10 @@ class GraphLoader:
             if len(chunk) == 0:
                 return
             graphs = [self.dataset[int(i)] for i in chunk]
-            yield concat_graphs(graphs)
+            if self.collate == "stack":
+                yield stack_graphs(graphs)
+            else:
+                yield concat_graphs(graphs)
 
     def __iter__(self) -> Iterator[Graph]:
         if self.prefetch <= 0:

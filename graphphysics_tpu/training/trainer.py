@@ -54,6 +54,8 @@ class Trainer:
         log_every: int = 100,
         extra_logger=None,
         plot_callback=None,
+        data_parallel: bool = False,
+        num_devices: Optional[int] = None,
     ):
         self.param = parameters
         self.learning_rate = learning_rate
@@ -71,6 +73,9 @@ class Trainer:
         self.log_every = log_every
         self.extra_logger = extra_logger
         self.plot_callback = plot_callback
+        self.data_parallel = data_parallel
+        self.num_devices = num_devices
+        self.mesh = None
 
         self.sim = get_simulator(parameters)
         self.K = self.sim.model.K
@@ -98,7 +103,14 @@ class Trainer:
 
     def init_state(self, example_batch: Graph, num_steps: int):
         """Initialize params/normalizers/optimizer from one example batch."""
-        gj = jax.device_put(example_batch)
+        from graphphysics_tpu.core.graph import flatten_batched_graph
+
+        if self.data_parallel:
+            gj = flatten_batched_graph(
+                jax.tree_util.tree_map(jnp.asarray, example_batch)
+            )
+        else:
+            gj = jax.device_put(example_batch)
         variables = self.sim.init(
             {"params": jax.random.key(self.seed), "sample": jax.random.key(1)}, gj
         )
@@ -111,7 +123,10 @@ class Trainer:
             "opt_state": self.tx.init(variables["params"]),
             "step": jnp.zeros((), jnp.int32),
         }
-        self._build_train_step()
+        if self.data_parallel:
+            self._build_dp_train_step()
+        else:
+            self._build_train_step()
         return self.state
 
     def _build_train_step(self):
@@ -147,6 +162,35 @@ class Trainer:
 
         self._train_step = train_step
 
+    def _build_dp_train_step(self):
+        """Data-parallel step over all (or num_devices) local devices; the
+        loader must use collate='stack' with batch_size divisible by the
+        device count."""
+        from graphphysics_tpu.parallel import make_dp_train_step, make_mesh
+
+        self.mesh = make_mesh(self.num_devices)
+        loss_kind = "l2" if self.K == 0 else "diag_gmm"
+        gmm_kwargs = (
+            None
+            if self.K == 0
+            else dict(d=self.d, K=self.K, temperature=self.temperature)
+        )
+        self._train_step = make_dp_train_step(
+            self.sim,
+            self.tx,
+            self.masks,
+            self.mesh,
+            loss_kind=loss_kind,
+            gmm_kwargs=gmm_kwargs,
+        )
+
+    def _put_batch(self, batch: Graph):
+        if self.data_parallel:
+            from graphphysics_tpu.parallel import shard_batch
+
+            return shard_batch(batch, self.mesh)
+        return jax.device_put(batch)
+
     # ------------------------------------------------------------- training
 
     def fit(
@@ -174,7 +218,7 @@ class Trainer:
             train_loader.set_epoch(epoch)
             t0, nsteps, loss_sum = time.time(), 0, 0.0
             for batch in train_loader:
-                gb = jax.device_put(batch)
+                gb = self._put_batch(batch)
                 self.state, loss = self._train_step(self.state, gb)
                 nsteps += 1
                 loss_sum += float(loss)

@@ -153,3 +153,33 @@ def test_cli_train_smoke(cylinder_env, tmp_path, monkeypatch):
     )
     assert rc == 0
     assert os.path.exists(tmp_path / "checkpoints" / "state.msgpack")
+
+
+def test_fit_data_parallel_on_mesh(cylinder_env):
+    """Data-parallel Trainer over the virtual 8-device mesh must train and
+    validate like the single-device path."""
+    tmp, param = cylinder_env
+    import jax
+
+    assert len(jax.devices()) == 8
+    train_pre = get_preprocessing(param)
+    val_pre = get_preprocessing(param, remove_noise=True)
+    train_ds = get_dataset(param, train_pre)
+    val_ds = get_dataset(param, val_pre, switch_to_val=True)
+    loader = GraphLoader(
+        train_ds, batch_size=8, shuffle=True, prefetch=0, collate="stack"
+    )
+    trainer = Trainer(
+        param,
+        learning_rate=1e-3,
+        warmup=2,
+        data_parallel=True,
+        checkpoint_dir=str(tmp / "ckpt_dp"),
+        metrics_path=None,
+        rollout_dir=None,
+        log_every=5,
+    )
+    history = trainer.fit(loader, val_dataset=val_ds, num_epochs=2)
+    assert len(history["train_loss"]) == 2
+    assert history["train_loss"][-1] < history["train_loss"][0]
+    assert all(np.isfinite(v) for v in history["val_rmse"])

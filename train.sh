@@ -2,6 +2,7 @@
 # End-to-end smoke training on a generated mock dataset (the analog of the
 # reference CI pipeline, .github/workflows/gp.yaml: make train-predict).
 set -e
+cd "$(dirname "$0")"
 python3 - <<'EOF'
 import json, shutil, sys
 sys.path.insert(0, ".")
