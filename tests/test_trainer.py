@@ -183,3 +183,24 @@ def test_fit_data_parallel_on_mesh(cylinder_env):
     assert len(history["train_loss"]) == 2
     assert history["train_loss"][-1] < history["train_loss"][0]
     assert all(np.isfinite(v) for v in history["val_rmse"])
+
+
+def test_fit_gmm_head(cylinder_env):
+    """Training with a diagonal GMM head: NLL loss path + sampled rollout."""
+    tmp, param = cylinder_env
+    param_gmm = json.loads(json.dumps(param))
+    param_gmm["model"]["num_mixture_components"] = 2
+    param_gmm["model"]["temperature"] = 1.0
+    train_pre = get_preprocessing(param_gmm)
+    val_pre = get_preprocessing(param_gmm, remove_noise=True)
+    train_ds = get_dataset(param_gmm, train_pre)
+    val_ds = get_dataset(param_gmm, val_pre, switch_to_val=True)
+    loader = GraphLoader(train_ds, batch_size=2, shuffle=True, prefetch=0)
+    trainer = Trainer(
+        param_gmm, learning_rate=1e-3, warmup=2,
+        checkpoint_dir=str(tmp / "ckpt_gmm"), metrics_path=None,
+        rollout_dir=None, log_every=5,
+    )
+    history = trainer.fit(loader, val_dataset=val_ds, num_epochs=1)
+    assert np.isfinite(history["train_loss"][0])
+    assert np.isfinite(history["val_rmse"][0])
