@@ -61,45 +61,64 @@ def sparse_graph_attention(
 
     Returns:
         ``[N, H, Dh]`` attention output.
+
+    Layout note: all edge-sized intermediates (the gathers) are kept 2D
+    ``[E, H*Dh]`` — a 3D ``[E, H, Dh]`` gather output tiles as ``(Dh,)``
+    lanes on TPU and pads HBM up to 8x for small head dims (observed OOM at
+    aneurysm scale). Per-head score/weight math is done with head-blocked
+    reshapes of the 2D arrays, which XLA fuses without materializing 3D.
     """
+    n, h, dh = q.shape
+    d = h * dh
+    q2 = q.reshape(n, d)  # head-blocked columns: head i owns [i*dh, (i+1)*dh)
+    kv2 = jnp.concatenate([k.reshape(n, d), v.reshape(n, d)], axis=1)
+    scale = jnp.asarray(scale, q.dtype)
+
+    def scores_of(q_e, k_e):  # [E, d] x2 -> [E, H]
+        e = q_e.shape[0]
+        return (
+            (q_e * k_e).reshape(e, h, dh).sum(axis=-1).astype(jnp.float32)
+            * scale
+        )
+
+    def weight(v_e, attn):  # [E, d], [E, H] -> [E, d]
+        e = v_e.shape[0]
+        return (
+            v_e.reshape(e, h, dh) * attn[:, :, None].astype(v_e.dtype)
+        ).reshape(e, d)
+
     if partition_axis is not None:
         # Edge-partitioned SPMD (parallel.graph_partition): q at LOCAL segment
         # nodes (receivers), k/v gathered from the all-gathered global table
         # at ``senders``; softmax + aggregation are local segment ops. Equals
         # the COO convention on the symmetric mesh adjacency.
-        k_table = jax.lax.all_gather(k, partition_axis, axis=0, tiled=True)
-        v_table = jax.lax.all_gather(v, partition_axis, axis=0, tiled=True)
-        q_e = jnp.take(q, receivers, axis=0)
-        k_e = jnp.take(k_table, senders, axis=0)
-        scores = jnp.einsum(
-            "ehd,ehd->eh", q_e, k_e, preferred_element_type=jnp.float32
-        ) * jnp.asarray(scale, q.dtype)
+        kv_table = jax.lax.all_gather(kv2, partition_axis, axis=0, tiled=True)
+        q_e = jnp.take(q2, receivers, axis=0)
+        kv_e = jnp.take(kv_table, senders, axis=0)
+        k_e, v_e = kv_e[:, :d], kv_e[:, d:]
         attn = segment_softmax(
-            scores, receivers, num_segments=num_nodes, mask=edge_mask
+            scores_of(q_e, k_e), receivers, num_segments=num_nodes, mask=edge_mask
         )
-        v_e = jnp.take(v_table, senders, axis=0)
-        weighted = v_e * attn[..., None].astype(v_e.dtype)
-        return masked_segment_sum(weighted, receivers, num_nodes, mask=edge_mask)
+        out = masked_segment_sum(
+            weight(v_e, attn), receivers, num_nodes, mask=edge_mask
+        )
+        return out.reshape(num_nodes, h, dh)
 
     if ell_degree is not None:
-        q_e = ell_repeat(q, ell_degree)  # [E, H, Dh]
-        k_e = ell_gather(k, senders, twin_perm, ell_degree)
-        scores = jnp.einsum(
-            "ehd,ehd->eh", q_e, k_e, preferred_element_type=jnp.float32
-        ) * jnp.asarray(scale, q.dtype)
-        attn = ell_softmax(scores, ell_degree, edge_mask)  # [E, H]
-        v_e = ell_gather(v, senders, twin_perm, ell_degree)
-        weighted = v_e * attn[..., None].astype(v_e.dtype)
-        return ell_segment_sum(weighted, ell_degree, edge_mask)
+        q_e = ell_repeat(q2, ell_degree)  # [E, d]
+        kv_e = ell_gather(kv2, senders, twin_perm, ell_degree)
+        k_e, v_e = kv_e[:, :d], kv_e[:, d:]
+        attn = ell_softmax(scores_of(q_e, k_e), ell_degree, edge_mask)  # [E, H]
+        out = ell_segment_sum(weight(v_e, attn), ell_degree, edge_mask)
+        return out.reshape(num_nodes, h, dh)
 
-    q_e = jnp.take(q, senders, axis=0)  # [E, H, Dh]
-    k_e = jnp.take(k, receivers, axis=0)  # [E, H, Dh]
-    scores = jnp.einsum(
-        "ehd,ehd->eh", q_e, k_e, preferred_element_type=jnp.float32
-    ) * jnp.asarray(scale, q.dtype)
+    q_e = jnp.take(q2, senders, axis=0)  # [E, d]
+    kv_e = jnp.take(kv2, receivers, axis=0)  # [E, 2d]
+    k_e, v_e = kv_e[:, :d], kv_e[:, d:]
     attn = segment_softmax(
-        scores, senders, num_segments=num_nodes, mask=edge_mask
+        scores_of(q_e, k_e), senders, num_segments=num_nodes, mask=edge_mask
     )  # [E, H]
-    v_e = jnp.take(v, receivers, axis=0)  # [E, H, Dh]
-    weighted = v_e * attn[..., None].astype(v_e.dtype)
-    return masked_segment_sum(weighted, senders, num_nodes, mask=edge_mask)
+    out = masked_segment_sum(
+        weight(v_e, attn), senders, num_nodes, mask=edge_mask
+    )
+    return out.reshape(num_nodes, h, dh)

@@ -72,6 +72,9 @@ def get_model(param: Dict[str, Any], only_processor: bool = False) -> nn.Module:
     precision = param["model"].get("precision", "f32")
     dtype = {"f32": None, "float32": None, "bf16": jnp.bfloat16,
              "bfloat16": jnp.bfloat16}[precision]
+    # TPU extension: rematerialize message-passing blocks to trade FLOPs for
+    # HBM on very large meshes
+    remat = bool(param["model"].get("remat", False))
 
     if model_type == "epd":
         return EncodeProcessDecode(
@@ -84,6 +87,7 @@ def get_model(param: Dict[str, Any], only_processor: bool = False) -> nn.Module:
             num_mixture_components=num_mixture_components,
             temperature=temperature,
             dtype=dtype,
+            remat=remat,
         )
     if model_type == "transformer":
         return EncodeTransformDecode(
@@ -96,6 +100,7 @@ def get_model(param: Dict[str, Any], only_processor: bool = False) -> nn.Module:
             num_mixture_components=num_mixture_components,
             temperature=temperature,
             dtype=dtype,
+            remat=remat,
         )
     raise ValueError(f"Model type '{model_type}' not supported.")
 
