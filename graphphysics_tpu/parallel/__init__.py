@@ -11,8 +11,10 @@ from graphphysics_tpu.parallel.dp import (
     make_dp_train_step,
     make_graph_parallel_train_step,
     merge_normalizer_states,
+    partitioned_rollout,
 )
 from graphphysics_tpu.parallel.graph_partition import (
+    partition_frames_np,
     partition_graph_np,
     unpartition_rows,
 )
@@ -20,6 +22,8 @@ from graphphysics_tpu.parallel.graph_partition import (
 __all__ = [
     "graph_parallel_forward",
     "make_graph_parallel_train_step",
+    "partitioned_rollout",
+    "partition_frames_np",
     "partition_graph_np",
     "unpartition_rows",
     "DATA_AXIS",

@@ -277,3 +277,45 @@ def graph_parallel_forward(sim_or_model, variables, partitioned: Graph, mesh: Me
             check_vma=False,
         )
     )(variables, partitioned)
+
+
+def partitioned_rollout(
+    sim,
+    variables,
+    frames_parts: Graph,
+    mesh: Mesh,
+    rng,
+    graph_axis: str = "graph",
+    use_previous_data: bool = False,
+    previous_data_start=None,
+    previous_data_end=None,
+):
+    """Whole-trajectory autoregressive rollout over an edge-partitioned mesh:
+    the scan runs per shard with the model's per-layer all_gathers riding the
+    graph axis. ``frames_parts`` leaves are ``[T, P, ...]``
+    (``graph_partition.partition_frames_np``), sharded on axis 1.
+
+    Returns ``(predictions, targets)`` as global ``[T, N, d]`` arrays
+    (parts re-concatenated on the node axis)."""
+    from graphphysics_tpu.training.rollout import rollout as _rollout
+
+    def per_shard(variables, stacked, rng):
+        frames = jax.tree_util.tree_map(lambda a: a[:, 0], stacked)
+        # decorrelate per-shard sampling streams (GMM eval draws)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(graph_axis))
+        preds, targets = _rollout(
+            sim, variables, frames, rng,
+            use_previous_data=use_previous_data,
+            previous_data_start=previous_data_start,
+            previous_data_end=previous_data_end,
+        )
+        return preds, targets
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(None, graph_axis), P()),
+        out_specs=(P(None, graph_axis), P(None, graph_axis)),
+        check_vma=False,
+    )
+    return jax.jit(sharded)(variables, frames_parts, rng)

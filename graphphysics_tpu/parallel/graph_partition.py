@@ -32,6 +32,7 @@ def partition_graph_np(
     num_parts: int,
     axis_name: str = GRAPH_AXIS,
     edge_multiple: int = 128,
+    edge_budget_local: Optional[int] = None,
 ) -> Graph:
     """Partition an unpartitioned COO Graph into ``num_parts`` shards stacked
     on a new leading axis (shard with ``P(axis_name)`` over the mesh).
@@ -55,7 +56,11 @@ def partition_graph_np(
     part_of_edge = receivers // nl
 
     counts = np.bincount(part_of_edge, minlength=num_parts)
-    el = round_up(int(counts.max()), edge_multiple)
+    el = edge_budget_local or round_up(int(counts.max()), edge_multiple)
+    if counts.max() > el:
+        raise ValueError(
+            f"edge_budget_local {el} < max part edges {int(counts.max())}"
+        )
 
     def node_field(a):
         if a is None:
@@ -99,3 +104,28 @@ def unpartition_rows(stacked: np.ndarray) -> np.ndarray:
     """[P, Nl, ...] node-wise output back to [N, ...] (parts are contiguous)."""
     a = np.asarray(stacked)
     return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+
+
+def partition_frames_np(frames: list, num_parts: int, axis_name: str = GRAPH_AXIS):
+    """Partition every frame of a trajectory identically and stack to leaves
+    ``[T, P, ...]`` — the input to ``parallel.dp.partitioned_rollout``.
+
+    Frames share the node split; the per-part edge budget is the max over
+    frames so all frames share one static shape (world edges may differ per
+    frame)."""
+    from graphphysics_tpu.core.graph import round_up as _ru
+
+    nl = frames[0].num_nodes // num_parts
+    budget = 0
+    for f in frames:
+        counts = np.bincount(
+            np.asarray(f.receivers) // nl, minlength=num_parts
+        )
+        budget = max(budget, _ru(int(counts.max()), 128))
+    parts = [
+        partition_graph_np(f, num_parts, axis_name, edge_budget_local=budget)
+        for f in frames
+    ]
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *parts)
