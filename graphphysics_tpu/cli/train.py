@@ -87,6 +87,7 @@ def main(argv=None) -> int:
         use_edge_feature=use_edge_feature,
         use_previous_data=args.use_previous_data,
     )
+    _ = train_ds[0]  # materialize the lazily-computed static budgets
     val_ds = get_dataset(
         parameters,
         val_pre,
@@ -95,6 +96,8 @@ def main(argv=None) -> int:
         switch_to_val=True,
         node_budget=train_ds.node_budget,
         edge_budget=train_ds.edge_budget,
+        ell_degree=train_ds.ell_degree,
+        edge_layout=train_ds.edge_layout,
     )
     loader = GraphLoader(
         train_ds,

@@ -252,9 +252,12 @@ class BaseDataset(abc.ABC):
         from graphphysics_tpu.core.graph import pad_graph_ell_np
         from graphphysics_tpu.topology.ell import max_in_degree
 
-        if self.ell_degree is None:
+        first_sample = self.ell_degree is None
+        if first_sample:
             dmax = max_in_degree(sample.receivers, self.node_budget)
-            self.ell_degree = max(((dmax + 3) // 4) * 4, 4)
+            # +4 headroom over the first sample's max in-degree: random edges /
+            # per-frame world edges can push later samples higher
+            self.ell_degree = max(((dmax + 4 + 3) // 4) * 4, 4)
         try:
             return pad_graph_ell_np(
                 sample.x,
@@ -268,9 +271,17 @@ class BaseDataset(abc.ABC):
                 node_type_index=self.node_type_index,
             )
         except ValueError as err:
-            if "not symmetric" in str(err):
-                # e.g. user-supplied asymmetric extra edges: switch to COO
+            if "not symmetric" in str(err) and first_sample:
+                # e.g. user-supplied asymmetric extra edges: switch to COO —
+                # only before any ELL graph was produced (a mid-run switch
+                # would mix incompatible layouts within one batch)
                 print(f"[dataset] ELL unavailable ({err}); falling back to COO")
                 self.edge_layout = "coo"
+                self.ell_degree = None
                 return self._pad(sample, None)
+            if "exceeds ELL degree" in str(err):
+                raise ValueError(
+                    f"{err}; pass an explicit ell_degree with more headroom "
+                    f"(current budget {self.ell_degree})"
+                ) from err
             raise

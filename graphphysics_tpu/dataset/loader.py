@@ -55,6 +55,15 @@ class GraphLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def peek(self) -> Graph:
+        """Build the first batch synchronously (no prefetch thread) — for
+        shape/parameter initialization without leaking a producer thread."""
+        idx = self._order()[: self.batch_size]
+        graphs = [self.dataset[int(i)] for i in idx]
+        if self.collate == "stack":
+            return stack_graphs(graphs)
+        return concat_graphs(graphs)
+
     def _order(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:

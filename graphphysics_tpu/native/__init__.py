@@ -25,15 +25,21 @@ _tried = False
 
 
 def _build() -> Optional[str]:
+    tmp = _LIB_PATH + f".tmp.{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB_PATH],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp, _LIB_PATH)  # atomic: concurrent builders race safely
         return _LIB_PATH
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 

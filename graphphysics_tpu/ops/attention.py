@@ -76,10 +76,9 @@ def sparse_graph_attention(
 
     def scores_of(q_e, k_e):  # [E, d] x2 -> [E, H]
         e = q_e.shape[0]
-        return (
-            (q_e * k_e).reshape(e, h, dh).sum(axis=-1).astype(jnp.float32)
-            * scale
-        )
+        # accumulate the per-head dot in f32 even when activations are bf16
+        prod = q_e.astype(jnp.float32) * k_e.astype(jnp.float32)
+        return prod.reshape(e, h, dh).sum(axis=-1) * scale.astype(jnp.float32)
 
     def weight(v_e, attn):  # [E, d], [E, H] -> [E, d]
         e = v_e.shape[0]

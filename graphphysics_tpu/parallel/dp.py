@@ -59,8 +59,9 @@ def _make_local_loss(sim, masks, loss_kind, gmm_kwargs):
         if loss_kind == "l2":
             per_row = jnp.mean((out - target) ** 2, axis=-1)
         elif loss_kind == "diag_gmm":
-            # reuse the masked-mean NLL by asking for per-row values
-            per_row = _diag_gmm_per_row(target, out, **gmm_kwargs)
+            per_row = losses_mod.diagonal_gmm_nll_per_row(
+                target, out, **gmm_kwargs
+            )
         else:
             raise ValueError(loss_kind)
         w = mask.astype(per_row.dtype)
@@ -154,24 +155,6 @@ def make_dp_train_step(
     return step
 
 
-def _diag_gmm_per_row(target, out, d: int, K: int, temperature: float = 1.0):
-    n = out.shape[0]
-    per_comp = 2 * d + 1
-    net = out.reshape(n, K, per_comp)
-    logit = net[..., 0]
-    alpha = jax.nn.softmax(logit, axis=-1)
-    means = net[..., 1 : 1 + d]
-    log_std = net[..., 1 + d : 1 + 2 * d]
-    diff = target[:, None, :] - means
-    std = jnp.exp(log_std) * temperature
-    log_component = jnp.sum(
-        -0.5
-        * (2.0 * jnp.log(std + 1e-12) + diff**2 / (std**2 + 1e-12)
-           + jnp.log(2.0 * jnp.pi)),
-        axis=-1,
-    )
-    log_mixture = jnp.log(alpha + 1e-12) + log_component
-    return -jax.scipy.special.logsumexp(log_mixture, axis=-1)
 
 
 def make_graph_parallel_train_step(

@@ -78,20 +78,15 @@ def l1_smooth_loss(
     return _masked_row_mean(per_row, mask)
 
 
-def diagonal_gmm_nll_loss(
+def diagonal_gmm_nll_per_row(
     target: jax.Array,
     network_output: jax.Array,
-    node_type: jax.Array,
-    masks: Sequence[int],
     d: int,
     K: int,
     temperature: float = 1.0,
-    node_valid: Optional[jax.Array] = None,
-    exclude_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Diagonal-covariance GMM NLL (reference ``loss.py:111-199``), computed
-    on all rows then mean-reduced over the mask."""
-    mask = node_type_mask(node_type, masks, node_valid, exclude_mask)
+    """Per-node diagonal-GMM negative log-likelihood ([N]); the shared core
+    of the masked loss below and the data-parallel step's local loss."""
     n = network_output.shape[0]
     per_comp = 2 * d + 1
     net = network_output.reshape(n, K, per_comp)
@@ -109,8 +104,25 @@ def diagonal_gmm_nll_loss(
     )
     log_component = jnp.sum(log_component, axis=-1)  # [N, K]
     log_mixture = jnp.log(alpha + 1e-12) + log_component
-    log_prob_x = jax.scipy.special.logsumexp(log_mixture, axis=-1)  # [N]
-    return _masked_row_mean(-log_prob_x, mask)
+    return -jax.scipy.special.logsumexp(log_mixture, axis=-1)  # [N]
+
+
+def diagonal_gmm_nll_loss(
+    target: jax.Array,
+    network_output: jax.Array,
+    node_type: jax.Array,
+    masks: Sequence[int],
+    d: int,
+    K: int,
+    temperature: float = 1.0,
+    node_valid: Optional[jax.Array] = None,
+    exclude_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Diagonal-covariance GMM NLL (reference ``loss.py:111-199``), computed
+    on all rows then mean-reduced over the mask."""
+    mask = node_type_mask(node_type, masks, node_valid, exclude_mask)
+    nll = diagonal_gmm_nll_per_row(target, network_output, d, K, temperature)
+    return _masked_row_mean(nll, mask)
 
 
 def gmm_nll_loss(

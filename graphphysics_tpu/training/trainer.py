@@ -205,8 +205,7 @@ class Trainer:
         start_epoch = 0
 
         if self.state is None:
-            first = next(iter(train_loader))
-            self.init_state(first, num_steps)
+            self.init_state(train_loader.peek(), num_steps)
 
         if resume_from and os.path.exists(resume_from):
             self.state = load_checkpoint(resume_from, self.state)
@@ -216,18 +215,20 @@ class Trainer:
         history = {"train_loss": [], "val_rmse": []}
         for epoch in range(start_epoch, num_epochs):
             train_loader.set_epoch(epoch)
-            t0, nsteps, loss_sum = time.time(), 0, 0.0
+            t0, nsteps = time.time(), 0
+            loss_acc = None  # device-side accumulation: no per-step host sync
+            step0 = int(self.state["step"])
             for batch in train_loader:
                 gb = self._put_batch(batch)
                 self.state, loss = self._train_step(self.state, gb)
                 nsteps += 1
-                loss_sum += float(loss)
-                step = int(self.state["step"])
+                loss_acc = loss if loss_acc is None else loss_acc + loss
+                step = step0 + nsteps  # host-side counter, no device fetch
                 if step % self.log_every == 0:
                     lr = float(self.schedule(step))
                     self._log(epoch, step, {"train_loss": float(loss), "lr": lr})
             dt = time.time() - t0
-            train_loss = loss_sum / max(nsteps, 1)
+            train_loss = float(loss_acc) / max(nsteps, 1) if nsteps else 0.0
             history["train_loss"].append(train_loss)
             msg = (
                 f"[trainer] epoch {epoch}: train_loss={train_loss:.5f} "

@@ -47,27 +47,42 @@ class AverageValueMeter:
 
 
 class CSVMetricsLogger:
-    """Append-only CSV metrics sink with a stable, growing header."""
+    """CSV metrics sink. The header grows as new metric keys appear: the file
+    is rewritten with the widened header (files are small); appending to an
+    existing file (resume) adopts its header instead of duplicating it."""
 
     def __init__(self, path: str):
         self.path = path
         self._fields = ["time", "epoch", "step"]
-        self._rows_written = 0
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        if os.path.exists(path):
+            with open(path, newline="") as f:
+                reader = csv.reader(f)
+                header = next(reader, None)
+            if header:
+                self._fields = list(header)
+
+    def _rewrite_with_fields(self):
+        rows = []
+        if os.path.exists(self.path):
+            with open(self.path, newline="") as f:
+                rows = list(csv.DictReader(f))
+        with open(self.path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._fields, extrasaction="ignore")
+            w.writeheader()
+            for r in rows:
+                w.writerow(r)
 
     def log(self, epoch: int, step: int, metrics: Dict[str, float]):
-        for k in metrics:
-            if k not in self._fields:
-                self._fields.append(k)
-        write_header = not os.path.exists(self.path) or self._rows_written == 0
+        new_fields = [k for k in metrics if k not in self._fields]
+        if new_fields or not os.path.exists(self.path):
+            self._fields.extend(new_fields)
+            self._rewrite_with_fields()
         with open(self.path, "a", newline="") as f:
             w = csv.DictWriter(f, fieldnames=self._fields, extrasaction="ignore")
-            if write_header:
-                w.writeheader()
             row = {"time": f"{time.time():.3f}", "epoch": epoch, "step": step}
-            row.update({k: v for k, v in metrics.items()})
+            row.update(metrics)
             w.writerow(row)
-        self._rows_written += 1
 
 
 class WandbLogger:
