@@ -93,12 +93,16 @@ def main():
         state, loss = step(state, graph)
     jax.block_until_ready(loss)
 
+    # median of 3 chained runs: the tunnel has ~±30% run-to-run variance
     iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, loss = step(state, graph)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, loss = step(state, graph)
+        jax.block_until_ready(loss)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[1]
 
     total_edges = batch * e * iters
     edges_per_sec = total_edges / dt

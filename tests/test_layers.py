@@ -153,3 +153,23 @@ def test_epd_gmm_head_output_size():
     params = model.init(jax.random.key(0), gj)
     out = model.apply(params, gj)
     assert out.shape == (g.num_nodes, K * (2 * d + 1))
+
+
+def test_only_processor_mode():
+    g, x, ea = _graph_cfg()
+    gj = jax.tree_util.tree_map(jnp.asarray, g)
+    # only_processor consumes hidden-width inputs and skips encode/decode
+    # (reference processors.py:124-134, used by the MeshMask path)
+    h = 16
+    gj = gj.replace(
+        x=jnp.zeros((g.num_nodes, h)), edge_attr=jnp.zeros((g.num_edges, h))
+    )
+    model = EncodeProcessDecode(
+        message_passing_num=1, node_input_size=h, edge_input_size=h,
+        output_size=2, hidden_size=h, only_processor=True,
+    )
+    params = model.init(jax.random.key(0), gj)
+    out = model.apply(params, gj)
+    assert out.shape == (g.num_nodes, h)  # latent width, no decoder
+    assert "decode_module" not in params["params"]
+    assert "nodes_encoder" not in params["params"]

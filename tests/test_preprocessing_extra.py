@@ -1,0 +1,61 @@
+"""Additional preprocessing coverage: 3D rotation invariants, noise
+curriculum, min-distance feature (mirrors reference test_preprocessing)."""
+
+import math
+
+import numpy as np
+
+from graphphysics_tpu.core.nodetype import NodeType
+from graphphysics_tpu.dataset.preprocessing import add_noise, random_3d_rotate
+from graphphysics_tpu.dataset.sample import RawSample
+from graphphysics_tpu.topology.build import min_distance_to_type
+
+
+def _sample3d(rng, n=40):
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    x[:, 6] = 0  # node type col
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    y = rng.normal(size=(n, 3)).astype(np.float32)
+    return RawSample(x=x, pos=pos, y=y)
+
+
+def test_random_3d_rotate_preserves_norms(rng):
+    s = _sample3d(rng)
+    pos0, y0 = s.pos.copy(), s.y.copy()
+    feat0 = s.x[:, 0:3].copy()
+    out = random_3d_rotate(s, rng, feature_indices=[(0, 3)])
+    # rotations preserve row norms and pairwise distances
+    np.testing.assert_allclose(
+        np.linalg.norm(out.pos, axis=1), np.linalg.norm(pos0, axis=1), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.linalg.norm(out.x[:, 0:3], axis=1), np.linalg.norm(feat0, axis=1),
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.linalg.norm(out.y[:, 0:3], axis=1), np.linalg.norm(y0, axis=1),
+        rtol=1e-4,
+    )
+    # actually rotated (not identity)
+    assert np.abs(out.pos - pos0).max() > 1e-3
+
+
+def test_noise_curriculum_scale(rng):
+    n = 2000
+    x = np.zeros((n, 4), np.float32)
+    s = RawSample(x=x.copy(), pos=np.zeros((n, 2), np.float32))
+    # node type col 2 all NORMAL
+    out = add_noise(s, rng, [0], [2], 0.1, node_type_index=2, t=1.0)
+    # t=1: scale = 10*0.1*(1+cos(pi)) = 0
+    assert np.abs(out.x[:, 0:2]).max() == 0.0
+    s2 = RawSample(x=x.copy(), pos=np.zeros((n, 2), np.float32))
+    out2 = add_noise(s2, rng, [0], [2], 0.1, node_type_index=2, t=0.0)
+    # t=0: scale = 10*0.1*2 = 2
+    assert abs(out2.x[:, 0:2].std() - 2.0) < 0.1
+
+
+def test_min_distance_to_type(rng):
+    pos = np.array([[0, 0], [1, 0], [3, 0]], np.float32)
+    nt = np.array([NodeType.WALL_BOUNDARY, NodeType.NORMAL, NodeType.NORMAL])
+    d = min_distance_to_type(pos, nt, int(NodeType.WALL_BOUNDARY))
+    np.testing.assert_allclose(d, [0.0, 1.0, 3.0], rtol=1e-6)
