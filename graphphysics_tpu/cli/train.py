@@ -29,6 +29,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=2)
     p.add_argument("--warmup", type=int, default=1000)
     p.add_argument("--prefetch_factor", type=int, default=2)
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="worker processes for item building (0 = in-process)")
     p.add_argument("--model_save_name", default="state.msgpack")
     p.add_argument("--model_path", default=None, help="checkpoint to resume from")
     p.add_argument("--resume_training", action="store_true")
@@ -105,6 +107,7 @@ def main(argv=None) -> int:
         shuffle=True,
         seed=args.seed,
         prefetch=args.prefetch_factor,
+        num_workers=args.num_workers,
         collate="stack" if args.data_parallel else "concat",
     )
 

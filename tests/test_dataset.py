@@ -241,3 +241,27 @@ def test_xdmf_previous_data_acceleration(aneurysm):
     # acceleration column = current velocity - previous velocity
     raw = ds._load(0)
     assert np.isfinite(g.x[:n, 5:8]).all()
+
+
+def test_loader_multiprocess_workers(cylinder):
+    """Worker-process loading must produce the same batches as in-process
+    (h5 included: handles reopen per process)."""
+    h5_path, meta_path = cylinder
+    ds = H5Dataset(
+        h5_path=h5_path, meta_path=meta_path, preprocessing=_cyl_preproc(),
+        node_type_index=2,
+    )
+    base = list(GraphLoader(ds, batch_size=4, shuffle=True, seed=3, prefetch=0))
+    ds2 = H5Dataset(
+        h5_path=h5_path, meta_path=meta_path, preprocessing=_cyl_preproc(),
+        node_type_index=2,
+    )
+    ds2.node_budget, ds2.edge_budget = ds.node_budget, ds.edge_budget
+    mp = list(
+        GraphLoader(ds2, batch_size=4, shuffle=True, seed=3, prefetch=1,
+                    num_workers=2)
+    )
+    assert len(base) == len(mp)
+    for a, b in zip(base, mp):
+        np.testing.assert_allclose(a.x, b.x)
+        np.testing.assert_array_equal(a.senders, b.senders)
