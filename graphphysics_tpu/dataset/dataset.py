@@ -101,14 +101,24 @@ class BaseDataset(abc.ABC):
     def _load(self, index: int) -> RawSample:
         """Load the raw (unpreprocessed) frame sample for a flat index."""
 
+    @property
+    def frames_per_trajectory(self) -> int:
+        """Usable frames per trajectory: T-1 (each needs a target), minus one
+        more with previous-data (frame 0 has no predecessor). NB: the
+        reference's ``__len__`` ignores the previous-data shift
+        (``dataset.py:80-84``), so its last index maps to a frame with no
+        target and raises (``xdmf_dataset.py:102-105``) — fixed here."""
+        return self.trajectory_length - 1 - int(self.use_previous_data)
+
     def __len__(self) -> int:
-        return self.size_dataset * (self.trajectory_length - 1)
+        return self.size_dataset * self.frames_per_trajectory
 
     def get_traj_frame(self, index: int) -> tuple:
         """Flat index -> (trajectory, frame); with previous-data the usable
         frames shift by one (reference ``dataset.py:66-81``)."""
-        traj = index // (self.trajectory_length - 1)
-        frame = index % (self.trajectory_length - 1) + int(self.use_previous_data)
+        per = self.frames_per_trajectory
+        traj = index // per
+        frame = index % per + int(self.use_previous_data)
         return traj, frame
 
     def set_epoch(self, epoch: int) -> None:
@@ -139,7 +149,7 @@ class BaseDataset(abc.ABC):
         return self._pad(sample, exclude)
 
     def trajectory_indices(self, traj_index: int) -> List[int]:
-        per = self.trajectory_length - 1
+        per = self.frames_per_trajectory
         return list(range(traj_index * per, (traj_index + 1) * per))
 
     # ------------------------------------------------------------ pipeline
