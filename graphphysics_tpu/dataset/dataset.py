@@ -101,6 +101,13 @@ class BaseDataset(abc.ABC):
     def _load(self, index: int) -> RawSample:
         """Load the raw (unpreprocessed) frame sample for a flat index."""
 
+    def scan_node_counts(self) -> Optional[List[int]]:
+        """Cheap per-trajectory node counts (no data read), or None if the
+        format can't provide them cheaply. Used to size static budgets so
+        mixed-size trajectory datasets (real aneurysm/bezier data) never
+        exceed the budget mid-training."""
+        return None
+
     @property
     def frames_per_trajectory(self) -> int:
         """Usable frames per trajectory: T-1 (each needs a target), minus one
@@ -221,7 +228,18 @@ class BaseDataset(abc.ABC):
     def _pad(self, sample: RawSample, exclude: Optional[np.ndarray]) -> Graph:
         n, e = sample.num_nodes, sample.num_edges
         if self.node_budget is None:
-            self.node_budget = round_up(n, self.bucket_multiple)
+            counts = self.scan_node_counts()
+            # no preprocessing step changes the node count, so the max raw
+            # trajectory size bounds every future sample
+            n_max = max(max(counts) if counts else n, n)
+            self.node_budget = round_up(n_max, self.bucket_multiple)
+            if self.edge_budget is None and counts and max(counts) > n:
+                # scale the edge budget by the worst-case node count
+                per_node = e / max(n, 1)
+                self.edge_budget = round_up(
+                    int(per_node * self.node_budget * self.edge_headroom),
+                    self.bucket_multiple,
+                )
         if n > self.node_budget:
             raise ValueError(
                 f"sample exceeds node budget: {n}>{self.node_budget}"

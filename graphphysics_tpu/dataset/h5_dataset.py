@@ -13,7 +13,7 @@ Design deltas from the reference:
 from __future__ import annotations
 
 from collections import OrderedDict
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
 
 import h5py
 import numpy as np
@@ -123,6 +123,20 @@ class H5Dataset(BaseDataset):
         while len(self._traj_cache) > self._traj_cache_size:
             self._traj_cache.popitem(last=False)
         return traj
+
+    def scan_node_counts(self):
+        f = self._handle()
+        counts = []
+        for key in self.datasets_index:
+            shape_meta = self.meta["features"]["mesh_pos"]["shape"]
+            arr = f[key]["mesh_pos"]
+            # stored flat or [T, N, d]; meta shape [T, -1, d]
+            if len(arr.shape) >= 2 and arr.shape[-1] == shape_meta[-1]:
+                n = arr.shape[-2]
+            else:
+                n = int(np.prod(arr.shape) // (shape_meta[0] * shape_meta[-1]))
+            counts.append(int(n))
+        return counts
 
     def _load(self, index: int) -> RawSample:
         traj_index, frame = self.get_traj_frame(index)

@@ -50,6 +50,14 @@ class XDMFDataset(BaseDataset):
     def size_dataset(self) -> int:
         return self._size_dataset
 
+    def scan_node_counts(self):
+        counts = []
+        for path in self.file_paths:
+            with XdmfTimeSeriesReader(path) as r:
+                pts, _ = r.read_points_cells()
+                counts.append(len(pts))
+        return counts
+
     def _filter_features(
         self, point_data: Dict[str, np.ndarray], dynamic_only: bool = False
     ) -> Dict[str, np.ndarray]:

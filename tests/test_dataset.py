@@ -265,3 +265,49 @@ def test_loader_multiprocess_workers(cylinder):
     for a, b in zip(base, mp):
         np.testing.assert_allclose(a.x, b.x)
         np.testing.assert_array_equal(a.senders, b.senders)
+
+
+def test_mixed_size_budget_scan(tmp_path):
+    """Datasets with different node counts per trajectory must size budgets
+    from the LARGEST trajectory (not the first item served), so later
+    trajectories never blow the static budget."""
+    import h5py, json
+    from tests.fixtures import triangulated_grid, cylinder_node_types, synth_velocity
+
+    steps = 6
+    h5p = str(tmp_path / "data.h5")
+    sizes = []
+    with h5py.File(h5p, "w") as f:
+        for tr, (nx, ny) in enumerate([(8, 6), (14, 10)]):  # small first!
+            points, tris = triangulated_grid(nx, ny)
+            sizes.append(len(points))
+            g = f.create_group(str(tr))
+            g["cells"] = np.repeat(tris[None], steps, axis=0)
+            g["mesh_pos"] = np.repeat(points[None], steps, axis=0)
+            g["node_type"] = np.repeat(
+                cylinder_node_types(points)[None, :, None], steps, axis=0
+            )
+            g["velocity"] = np.stack(
+                [synth_velocity(points, 0.05 * t) for t in range(steps)]
+            )
+    meta = {
+        "dt": 0.01,
+        "features": {
+            "cells": {"type": "static", "shape": [steps, -1, 3], "dtype": "int32"},
+            "mesh_pos": {"type": "static", "shape": [steps, -1, 2], "dtype": "float32"},
+            "node_type": {"type": "static", "shape": [steps, -1, 1], "dtype": "int32"},
+            "velocity": {"type": "dynamic", "shape": [steps, -1, 2], "dtype": "float32"},
+        },
+        "field_names": ["cells", "mesh_pos", "node_type", "velocity"],
+        "trajectory_length": steps,
+    }
+    mp = str(tmp_path / "meta.json")
+    json.dump(meta, open(mp, "w"))
+    ds = H5Dataset(h5_path=h5p, meta_path=mp, preprocessing=_cyl_preproc(),
+                   node_type_index=2)
+    g_small = ds[0]  # first trajectory (small) sets budgets
+    assert ds.node_budget >= max(sizes)
+    # an item from the LARGER trajectory must fit the same static shapes
+    g_big = ds[ds.frames_per_trajectory]
+    assert g_big.x.shape == g_small.x.shape
+    assert g_big.senders.shape == g_small.senders.shape
