@@ -89,18 +89,28 @@ def main(argv=None) -> int:
         use_edge_feature=use_edge_feature,
         use_previous_data=args.use_previous_data,
     )
-    _ = train_ds[0]  # materialize the lazily-computed static budgets
     val_ds = get_dataset(
         parameters,
         val_pre,
         use_edge_feature=use_edge_feature,
         use_previous_data=args.use_previous_data,
         switch_to_val=True,
-        node_budget=train_ds.node_budget,
-        edge_budget=train_ds.edge_budget,
-        ell_degree=train_ds.ell_degree,
         edge_layout=train_ds.edge_layout,
     )
+    # unify static shapes to the max over BOTH splits (a val trajectory may
+    # be larger than every train trajectory); budgets materialize lazily, so
+    # touch one item of each first
+    _ = train_ds[0]
+    _ = val_ds[0]
+    nb = max(train_ds.node_budget, val_ds.node_budget)
+    eb = None
+    if train_ds.edge_budget or val_ds.edge_budget:
+        eb = max(train_ds.edge_budget or 0, val_ds.edge_budget or 0)
+    train_ds.node_budget = val_ds.node_budget = nb
+    train_ds.edge_budget = val_ds.edge_budget = eb
+    if train_ds.ell_degree or val_ds.ell_degree:
+        d = max(train_ds.ell_degree or 0, val_ds.ell_degree or 0)
+        train_ds.ell_degree = val_ds.ell_degree = d
     loader = GraphLoader(
         train_ds,
         batch_size=args.batch_size,

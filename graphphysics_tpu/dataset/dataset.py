@@ -234,7 +234,10 @@ class BaseDataset(abc.ABC):
             n_max = max(max(counts) if counts else n, n)
             self.node_budget = round_up(n_max, self.bucket_multiple)
             if self.edge_budget is None and counts and max(counts) > n:
-                # scale the edge budget by the worst-case node count
+                # scale the edge budget by the worst-case node count. NB this
+                # extrapolates the FIRST sample's edges-per-node; for
+                # degree-heterogeneous datasets pass edge_budget explicitly
+                # or raise edge_headroom (the overflow error says so).
                 per_node = e / max(n, 1)
                 self.edge_budget = round_up(
                     int(per_node * self.node_budget * self.edge_headroom),

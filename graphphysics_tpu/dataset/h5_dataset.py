@@ -130,8 +130,9 @@ class H5Dataset(BaseDataset):
         for key in self.datasets_index:
             shape_meta = self.meta["features"]["mesh_pos"]["shape"]
             arr = f[key]["mesh_pos"]
-            # stored flat or [T, N, d]; meta shape [T, -1, d]
-            if len(arr.shape) >= 2 and arr.shape[-1] == shape_meta[-1]:
+            # stored [T, N, d] -> N directly; any flat layout ([T*N, d] or
+            # 1D) -> divide the element count by T*d per the meta schema
+            if arr.ndim == 3 and arr.shape[-1] == shape_meta[-1]:
                 n = arr.shape[-2]
             else:
                 n = int(np.prod(arr.shape) // (shape_meta[0] * shape_meta[-1]))

@@ -8,6 +8,7 @@ devices at graph granularity.
 
 from __future__ import annotations
 
+import os
 import threading
 import queue as queue_mod
 from typing import Iterator, Optional
@@ -60,10 +61,7 @@ class GraphLoader:
         """Build the first batch synchronously (no prefetch thread) — for
         shape/parameter initialization without leaking a producer thread."""
         idx = self._order()[: self.batch_size]
-        graphs = [self.dataset[int(i)] for i in idx]
-        if self.collate == "stack":
-            return stack_graphs(graphs)
-        return concat_graphs(graphs)
+        return self._collate([self.dataset[int(i)] for i in idx])
 
     def _order(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
@@ -79,11 +77,11 @@ class GraphLoader:
             return stack_graphs(graphs)
         return concat_graphs(graphs)
 
-    def _batches(self) -> Iterator[Graph]:
+    def _batches(self, pool=None) -> Iterator[Graph]:
         order = self._order()
         n = len(self)
         if self.num_workers > 0:
-            yield from self._batches_multiprocess(order, n)
+            yield from self._batches_multiprocess(order, n, pool)
             return
         for b in range(n):
             chunk = order[b * self.batch_size : (b + 1) * self.batch_size]
@@ -92,24 +90,47 @@ class GraphLoader:
             graphs = [self.dataset[int(i)] for i in chunk]
             yield self._collate(graphs)
 
-    def _batches_multiprocess(self, order, n) -> Iterator[Graph]:
+    def _materialize_static_shapes(self, order) -> None:
+        """Workers must inherit CONCRETE static-shape state (budgets, ELL
+        degree) or each would derive its own and pad to different shapes."""
+        ds = self.dataset
+        lazy = (
+            getattr(ds, "node_budget", 1) is None
+            or getattr(ds, "edge_budget", 1) is None
+            or (
+                getattr(ds, "edge_layout", "coo") == "ell"
+                and getattr(ds, "ell_degree", 1) is None
+            )
+        )
+        if lazy:
+            ds[int(order[0])]
+
+    def _make_pool(self, order):
+        import concurrent.futures as cf
+        import multiprocessing as mp
+
+        self._materialize_static_shapes(order)
+        # fork explicitly: initargs (the dataset, incl. its preprocessing
+        # pipeline) stay inherited rather than pickled, and behavior doesn't
+        # change when the platform default flips to forkserver/spawn. The
+        # pool is created from the MAIN thread (before the prefetch thread
+        # exists) to avoid fork-with-threads hazards.
+        ctx = mp.get_context("fork") if hasattr(os, "fork") else None
+        return cf.ProcessPoolExecutor(
+            max_workers=self.num_workers,
+            mp_context=ctx,
+            initializer=_init_worker,
+            initargs=(self.dataset,),
+        )
+
+    def _batches_multiprocess(self, order, n, pool) -> Iterator[Graph]:
         """Worker PROCESSES build items in parallel (the role of the
         reference's DataLoader workers, train.py:133-161 — including for h5,
         which the reference forces to 0 workers; our H5Dataset reopens its
         file handle per process). Items are prefetched ``prefetch`` batches
         ahead and yielded in order."""
-        import concurrent.futures as cf
-
-        if getattr(self.dataset, "node_budget", 1) is None:
-            # each worker would derive budgets from ITS first item and pad to
-            # different static shapes; materialize one item first
-            self.dataset[int(order[0])]
         window = max(self.prefetch, 1) + 1
-        with cf.ProcessPoolExecutor(
-            max_workers=self.num_workers,
-            initializer=_init_worker,
-            initargs=(self.dataset,),
-        ) as pool:
+        with pool:
             pending = {}
 
             def submit(b):
@@ -127,8 +148,10 @@ class GraphLoader:
                 yield self._collate(graphs)
 
     def __iter__(self) -> Iterator[Graph]:
+        # worker pool (if any) is created in the MAIN thread, pre-fork-safe
+        pool = self._make_pool(self._order()) if self.num_workers > 0 else None
         if self.prefetch <= 0:
-            yield from self._batches()
+            yield from self._batches(pool)
             return
         # background-thread prefetch: overlaps host-side graph building /
         # padding with device compute (the role DataLoader workers play in
@@ -136,25 +159,47 @@ class GraphLoader:
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         sentinel = object()
         error: list = []
+        stop = threading.Event()
 
         def producer():
             try:
-                for item in self._batches():
-                    q.put(item)
+                for item in self._batches(pool):
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.5)
+                            break
+                        except queue_mod.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # propagate to consumer
                 error.append(e)
             finally:
-                q.put(sentinel)
+                if pool is not None:
+                    pool.shutdown(wait=False, cancel_futures=True)
+                # deliver the sentinel even when the queue is full (dropping
+                # it would leave the consumer blocked on q.get after draining)
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.5)
+                        break
+                    except queue_mod.Full:
+                        continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+        finally:
+            # consumer abandoned mid-epoch (exception / break): unblock and
+            # stop the producer so the worker pool is released
+            stop.set()
 
 
 # -- worker-process globals: the dataset is pickled once per worker via the

@@ -248,9 +248,20 @@ def build_preprocessing(
             extra_edge_features = [extra_edge_features]
         steps.extend(extra_edge_features)
 
-    def pipeline(sample: RawSample, rng: np.random.Generator) -> RawSample:
-        for step in steps:
+    return Pipeline(steps)
+
+
+class Pipeline:
+    """Picklable composition of transforms (partials over module-level
+    functions), so datasets holding a pipeline can cross process boundaries
+    (GraphLoader worker processes) under any multiprocessing start method."""
+
+    def __init__(self, steps: List[Transform]):
+        self.steps = steps
+
+    def __call__(
+        self, sample: RawSample, rng: np.random.Generator
+    ) -> RawSample:
+        for step in self.steps:
             sample = step(sample, rng)
         return sample
-
-    return pipeline
