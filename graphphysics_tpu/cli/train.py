@@ -123,7 +123,16 @@ def main(argv=None) -> int:
 
     extra_logger = None
     if args.project_name:
+        # resume the same W&B run when resuming training (the reference
+        # persists the run id in its checkpoints, lightning_module.py:353-366;
+        # ours lives in the checkpoint metadata sidecar)
+        run_id = None
+        if args.resume_training and args.model_path:
+            from graphphysics_tpu.training.checkpoint import load_metadata
+
+            run_id = load_metadata(args.model_path).get("wandb_run_id")
         extra_logger = WandbLogger(
+            run_id=run_id,
             project=args.project_name,
             config={
                 "architecture": parameters["model"]["type"],
