@@ -196,10 +196,24 @@ class Attention(nn.Module):
                 self.output_dim, use_bias=self.use_proj_bias, dtype=self.dtype,
                 name="v_proj",
             )
+            q, k, v = q_proj(x), k_proj(x), v_proj(x)
         else:
-            # Reference shares the q weight matrix across q/k/v (layers.py:497-501).
-            k_proj = v_proj = q_proj
-        q, k, v = q_proj(x), k_proj(x), v_proj(x)
+            # Reference shares only the q WEIGHT matrix across q/k/v; the
+            # biases remain independent parameters (layers.py:497-501 assigns
+            # ``.weight`` only). Model that as zero-init additive bias deltas
+            # on top of the shared Dense: k = xW + b_q + (b_k - b_q).
+            q = q_proj(x)
+            if self.use_proj_bias:
+                k_bias_delta = self.param(
+                    "k_bias_delta", nn.initializers.zeros, (self.output_dim,)
+                )
+                v_bias_delta = self.param(
+                    "v_bias_delta", nn.initializers.zeros, (self.output_dim,)
+                )
+                k = q + k_bias_delta
+                v = q + v_bias_delta
+            else:
+                k = v = q
 
         def to_heads(t):
             # (N, head_dim, num_heads) layout, then [N, H, Dh] for the op.

@@ -39,9 +39,36 @@ def save_checkpoint(path: str, state: Any, metadata: Optional[dict] = None):
         os.replace(tmp_meta, path + ".meta.json")
 
 
+def is_torch_checkpoint(path: str) -> bool:
+    """True if ``path`` is a reference (PyTorch) checkpoint: a zip archive
+    (modern ``torch.save``) or a pickle stream (legacy format)."""
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    return magic == b"PK" or (len(magic) == 2 and magic[0] == 0x80 and magic[1] < 0x10)
+
+
 def load_checkpoint(path: str, template: Any) -> Any:
     """Restore into the structure of ``template`` (a freshly-initialized
-    state pytree with matching shapes/treedef)."""
+    state pytree with matching shapes/treedef).
+
+    Reference PyTorch checkpoints (``Simulator.save_checkpoint``,
+    ``graphphysics/models/simulator.py:379-405``) are detected by file magic
+    and imported via ``utils.torch_import``: params + normalizer statistics
+    are taken from the torch file; optimizer state / step counters keep the
+    template's (fresh) values.
+    """
+    if is_torch_checkpoint(path):
+        from graphphysics_tpu.utils.torch_import import import_reference_checkpoint
+
+        imported = import_reference_checkpoint(
+            path,
+            {"params": template["params"], "normalizer": template["normalizer"]},
+        )
+        out = dict(template)
+        out["params"] = imported["params"]
+        out["normalizer"] = imported["normalizer"]
+        return out
+
     with open(path, "rb") as f:
         payload = msgpack_restore(f.read())
     treedef = jax.tree_util.tree_structure(template)
