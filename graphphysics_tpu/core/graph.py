@@ -57,7 +57,16 @@ class Graph:
             ``parallel.graph_partition``), this Graph holds one device's
             shard inside ``shard_map`` over that mesh axis: node arrays are
             LOCAL rows, ``receivers`` are LOCAL indices (the segment side),
-            ``senders`` are GLOBAL indices into the all-gathered node table.
+            ``senders`` are GLOBAL indices into the all-gathered node table —
+            unless ``halo_send_idx`` is set (halo mode, below).
+        halo_send_idx: ``[P, B]`` int32 or None. Halo-exchange mode for
+            partitioned graphs (``parallel.partition_graph_halo_np``): row
+            ``q`` holds the LOCAL indices of the boundary rows this device
+            must send to peer ``q`` (padded with 0). When set, ``senders``
+            are LOCAL indices into the exchange table
+            ``[local rows ; halo rows]`` (see ``ops.halo``) and per-layer
+            communication is an ``all_to_all`` of O(boundary) rows instead
+            of an ``all_gather`` of the full node table.
     """
 
     x: jax.Array
@@ -70,6 +79,7 @@ class Graph:
     y: Optional[jax.Array]
     exclude_mask: Optional[jax.Array] = None
     twin_perm: Optional[jax.Array] = None
+    halo_send_idx: Optional[jax.Array] = None
     ell_degree: Optional[int] = None
     partition_axis: Optional[str] = None
 

@@ -178,6 +178,7 @@ class Attention(nn.Module):
         ell_degree: Optional[int] = None,
         twin_perm: Optional[jax.Array] = None,
         partition_axis: Optional[str] = None,
+        halo_send_idx: Optional[jax.Array] = None,
     ) -> jax.Array:
         assert self.output_dim % self.num_heads == 0
         head_dim = self.output_dim // self.num_heads
@@ -232,6 +233,7 @@ class Attention(nn.Module):
             ell_degree=ell_degree,
             twin_perm=twin_perm,
             partition_axis=partition_axis,
+            halo_send_idx=halo_send_idx,
         )
         # Back to the reference's flat layout: [N, H, Dh] -> (N, Dh, H) -> [N, D].
         y = y.transpose(0, 2, 1).reshape(n, self.output_dim)
@@ -261,6 +263,7 @@ class TransformerBlock(nn.Module):
         ell_degree: Optional[int] = None,
         twin_perm: Optional[jax.Array] = None,
         partition_axis: Optional[str] = None,
+        halo_send_idx: Optional[jax.Array] = None,
     ) -> jax.Array:
         attn = Attention(
             output_dim=self.output_dim,
@@ -278,6 +281,7 @@ class TransformerBlock(nn.Module):
             ell_degree,
             twin_perm,
             partition_axis,
+            halo_send_idx,
         ).astype(x.dtype)
         x = x + GatedMLPBlock(
             hidden_size=self.output_dim, out_size=self.output_dim, dtype=self.dtype,
@@ -311,13 +315,16 @@ class GraphNetBlock(nn.Module):
         ell_degree: Optional[int] = None,
         twin_perm: Optional[jax.Array] = None,
         partition_axis: Optional[str] = None,
+        halo_send_idx: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         if partition_axis is not None:
             # Edge-partitioned SPMD: receivers are local; senders index the
-            # all-gathered global node table (backward: reduce_scatter).
-            table = jax.lax.all_gather(x, partition_axis, axis=0, tiled=True)
+            # all-gathered global node table (backward: reduce_scatter) — or,
+            # in halo mode, the O(boundary) all_to_all exchange table.
+            from graphphysics_tpu.ops.halo import partitioned_gather
+
             x_recv = jnp.take(x, receivers, axis=0)
-            x_send = jnp.take(table, senders, axis=0)
+            x_send = partitioned_gather(x, senders, partition_axis, halo_send_idx)
         elif ell_degree is not None:
             # ELL fast path: receivers are slot owners -> broadcast; senders
             # gather with twin-permutation backward; no scatters anywhere.

@@ -93,6 +93,7 @@ class EncodeProcessDecode(nn.Module):
                 graph.ell_degree,
                 graph.twin_perm,
                 graph.partition_axis,
+                graph.halo_send_idx,
             )
 
         if self.only_processor:
@@ -161,6 +162,7 @@ class EncodeTransformDecode(nn.Module):
                 graph.ell_degree,
                 graph.twin_perm,
                 graph.partition_axis,
+                graph.halo_send_idx,
             )
 
         if self.only_processor:

@@ -41,6 +41,7 @@ def sparse_graph_attention(
     ell_degree: Optional[int] = None,
     twin_perm: Optional[jax.Array] = None,
     partition_axis: Optional[str] = None,
+    halo_send_idx: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Adjacency-masked attention.
 
@@ -88,12 +89,14 @@ def sparse_graph_attention(
 
     if partition_axis is not None:
         # Edge-partitioned SPMD (parallel.graph_partition): q at LOCAL segment
-        # nodes (receivers), k/v gathered from the all-gathered global table
-        # at ``senders``; softmax + aggregation are local segment ops. Equals
-        # the COO convention on the symmetric mesh adjacency.
-        kv_table = jax.lax.all_gather(kv2, partition_axis, axis=0, tiled=True)
+        # nodes (receivers), k/v gathered at ``senders`` from the all-gathered
+        # global table — or the O(boundary) halo exchange table (ops.halo) —
+        # softmax + aggregation are local segment ops. Equals the COO
+        # convention on the symmetric mesh adjacency.
+        from graphphysics_tpu.ops.halo import partitioned_gather
+
         q_e = jnp.take(q2, receivers, axis=0)
-        kv_e = jnp.take(kv_table, senders, axis=0)
+        kv_e = partitioned_gather(kv2, senders, partition_axis, halo_send_idx)
         k_e, v_e = kv_e[:, :d], kv_e[:, d:]
         attn = segment_softmax(
             scores_of(q_e, k_e), receivers, num_segments=num_nodes, mask=edge_mask

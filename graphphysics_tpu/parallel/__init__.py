@@ -15,6 +15,7 @@ from graphphysics_tpu.parallel.dp import (
 )
 from graphphysics_tpu.parallel.graph_partition import (
     partition_frames_np,
+    partition_graph_halo_np,
     partition_graph_np,
     unpartition_rows,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "make_graph_parallel_train_step",
     "partitioned_rollout",
     "partition_frames_np",
+    "partition_graph_halo_np",
     "partition_graph_np",
     "unpartition_rows",
     "DATA_AXIS",

@@ -27,6 +27,13 @@ def make_mesh(
 ) -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"make_mesh: requested {n_devices} devices but only "
+                f"{len(devices)} available ({devices[0].platform}); for CPU "
+                f"simulation set XLA_FLAGS=--xla_force_host_platform_device_"
+                f"count=N and JAX_PLATFORMS=cpu before jax initializes"
+            )
         devices = devices[:n_devices]
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)

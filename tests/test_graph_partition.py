@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from graphphysics_tpu.core.graph import pad_graph_np
 from graphphysics_tpu.core.nodetype import NodeType
@@ -19,6 +20,7 @@ from graphphysics_tpu.parallel.dp import (
     make_graph_parallel_train_step,
 )
 from graphphysics_tpu.parallel.graph_partition import (
+    partition_graph_halo_np,
     partition_graph_np,
     unpartition_rows,
 )
@@ -45,6 +47,11 @@ def _jnp(g):
     return jax.tree_util.tree_map(jnp.asarray, g)
 
 
+def _partition(g, num_parts, halo):
+    fn = partition_graph_halo_np if halo else partition_graph_np
+    return fn(g, num_parts)
+
+
 def test_partition_graph_roundtrip_nodes():
     g = _mesh_graph()
     parts = partition_graph_np(g, 4)
@@ -63,7 +70,8 @@ def test_partition_graph_roundtrip_nodes():
     assert got == expected
 
 
-def test_partitioned_epd_forward_matches_single_device():
+@pytest.mark.parametrize("halo", [False, True])
+def test_partitioned_epd_forward_matches_single_device(halo):
     g = _mesh_graph()
     gj = _jnp(g)
     model = EncodeProcessDecode(
@@ -74,14 +82,15 @@ def test_partitioned_epd_forward_matches_single_device():
     ref = model.apply(params, gj)
 
     mesh = make_mesh(4, (GRAPH_AXIS,))
-    parts = shard_batch(_jnp(partition_graph_np(g, 4)), mesh, GRAPH_AXIS)
+    parts = shard_batch(_jnp(_partition(g, 4, halo)), mesh, GRAPH_AXIS)
     out = graph_parallel_forward(model, params, parts, mesh)
     np.testing.assert_allclose(
         unpartition_rows(np.asarray(out)), np.asarray(ref), rtol=2e-4, atol=1e-5
     )
 
 
-def test_partitioned_transformer_forward_matches_single_device():
+@pytest.mark.parametrize("halo", [False, True])
+def test_partitioned_transformer_forward_matches_single_device(halo):
     g = _mesh_graph(seed=1)
     gj = _jnp(g)
     model = EncodeTransformDecode(
@@ -92,14 +101,15 @@ def test_partitioned_transformer_forward_matches_single_device():
     ref = model.apply(params, gj)
 
     mesh = make_mesh(4, (GRAPH_AXIS,))
-    parts = shard_batch(_jnp(partition_graph_np(g, 4)), mesh, GRAPH_AXIS)
+    parts = shard_batch(_jnp(_partition(g, 4, halo)), mesh, GRAPH_AXIS)
     out = graph_parallel_forward(model, params, parts, mesh)
     np.testing.assert_allclose(
         unpartition_rows(np.asarray(out)), np.asarray(ref), rtol=2e-4, atol=2e-5
     )
 
 
-def test_partitioned_train_step_matches_single_device():
+@pytest.mark.parametrize("halo", [False, True])
+def test_partitioned_train_step_matches_single_device(halo):
     g = _mesh_graph(seed=2)
     gj = _jnp(g)
     cfg = SimulatorConfig(
@@ -141,7 +151,7 @@ def test_partitioned_train_step_matches_single_device():
     step = make_graph_parallel_train_step(
         sim, tx, [NodeType.NORMAL, NodeType.OUTFLOW], mesh
     )
-    parts = shard_batch(_jnp(partition_graph_np(g, 4)), mesh, GRAPH_AXIS)
+    parts = shard_batch(_jnp(_partition(g, 4, halo)), mesh, GRAPH_AXIS)
     new_state, loss = step(state, parts)
 
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
@@ -153,7 +163,35 @@ def test_partitioned_train_step_matches_single_device():
     )
 
 
-def test_partitioned_rollout_matches_single_device():
+def test_halo_partition_structure():
+    """Halo senders resolve to the same global rows as the COO partition:
+    simulating the exchange table in numpy reproduces every masked edge."""
+    g = _mesh_graph(seed=3)
+    num_parts = 4
+    nl = g.num_nodes // num_parts
+    parts = partition_graph_halo_np(g, num_parts)
+    halo = np.asarray(parts.halo_send_idx)  # [P(owner q), P(dest p), B]
+    b = halo.shape[-1]
+    x = np.asarray(g.x)
+
+    ref = partition_graph_np(g, num_parts)
+    for p in range(num_parts):
+        local = x[p * nl : (p + 1) * nl]
+        # rows device p receives: from each q, the rows q sends to p
+        recv = np.concatenate(
+            [x[q * nl : (q + 1) * nl][halo[q, p]] for q in range(num_parts)]
+        )
+        table = np.concatenate([local, recv])
+        m = np.asarray(parts.edge_mask[p])
+        got = table[np.asarray(parts.senders[p])[m]]
+        expected = x[np.asarray(ref.senders[p])[m]]  # COO senders are global
+        np.testing.assert_array_equal(got, expected)
+        assert halo.shape == (num_parts, num_parts, b)
+        assert (np.asarray(parts.senders[p]) < nl + num_parts * b).all()
+
+
+@pytest.mark.parametrize("halo", [False, True])
+def test_partitioned_rollout_matches_single_device(halo):
     """Partitioned rollout over 4 shards == single-device rollout."""
     from graphphysics_tpu.parallel.dp import partitioned_rollout
     from graphphysics_tpu.parallel.graph_partition import partition_frames_np
@@ -185,7 +223,7 @@ def test_partitioned_rollout_matches_single_device():
     ref_preds, ref_targets = rollout(sim, variables, stacked, jax.random.key(1))
 
     mesh = make_mesh(4, (GRAPH_AXIS,))
-    parts = partition_frames_np(frames, 4)
+    parts = partition_frames_np(frames, 4, halo=halo)
     parts = jax.tree_util.tree_map(jnp.asarray, parts)
     preds, targets = partitioned_rollout(
         sim, variables, parts, mesh, jax.random.key(1)
