@@ -290,6 +290,71 @@ class TransformerBlock(nn.Module):
         return x
 
 
+class SplitDense(nn.Module):
+    """A Dense layer over a conceptual concat input, applied as partial
+    matmuls of slices of ONE ``[sum(in_sizes), features]`` kernel — so the
+    param tree (``{kernel, bias}``) is identical to ``nn.Dense`` on the
+    concat. Lets callers reassociate ``Dense(concat([a, b, c]))`` as
+    ``a@W_a + b@W_b + c@W_c + bias`` with each partial computed where it is
+    cheapest (e.g. at node granularity before an edge gather)."""
+
+    features: int
+    in_sizes: Tuple[int, ...]
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, parts, posts=None) -> jax.Array:
+        """``posts[i]`` (optional callable) is applied to term ``i`` after its
+        matmul — e.g. an edge gather, so the matmul runs on node rows."""
+        total = sum(self.in_sizes)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (total, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dtype = self.dtype or kernel.dtype
+        posts = posts or (None,) * len(self.in_sizes)
+        out = None
+        off = 0
+        for part, size, post in zip(parts, self.in_sizes, posts):
+            w = kernel[off : off + size].astype(dtype)
+            term = part.astype(dtype) @ w
+            if post is not None:
+                term = post(term)
+            out = term if out is None else out + term
+            off += size
+        return out + bias.astype(dtype)
+
+
+class _FusedEdgeMLP(nn.Module):
+    """The reference ``build_mlp`` with its first layer as a ``SplitDense``
+    over ``[edge_attr, x_recv, x_send]`` — param tree identical to ``MLP``
+    (so checkpoints and the torch importer are unaffected)."""
+
+    hidden_size: int
+    in_sizes: Tuple[int, ...]
+    nb_of_layers: int = 4
+    layer_norm: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, parts, posts) -> jax.Array:
+        y = SplitDense(
+            self.hidden_size, self.in_sizes, dtype=self.dtype, name="dense_0"
+        )(parts, posts)
+        y = nn.relu(y)
+        for i in range(self.nb_of_layers - 2):
+            y = nn.relu(
+                nn.Dense(self.hidden_size, dtype=self.dtype, name=f"dense_{i + 1}")(y)
+            )
+        y = nn.Dense(
+            self.hidden_size, dtype=self.dtype,
+            name=f"dense_{self.nb_of_layers - 1}",
+        )(y)
+        if self.layer_norm:
+            y = RMSNorm(self.hidden_size, name="norm")(y)
+        return y
+
+
 class GraphNetBlock(nn.Module):
     """Message-passing block (``layers.py:630-746``).
 
@@ -297,12 +362,25 @@ class GraphNetBlock(nn.Module):
     reference's ``[edge_attr, x_i, x_j]`` with i=target=col, j=source=row).
     Node update: MLP on ``[x, sum of incoming edge messages]`` where messages
     aggregate to ``receivers`` (flow="source_to_target"). Residuals on both.
+
+    ``project_before_gather`` (EXPERIMENTAL, default off): the edge MLP's
+    first layer is linear, so its x-terms can be projected at NODE granularity
+    and gathered afterwards — ``ea@W_e + (x@W_r)[recv] + (x@W_s)[send]`` —
+    cutting that matmul's row count from E to N for two of three terms
+    (~2.25x fewer FLOPs in this layer at the mesh's E≈6N). Same math, same
+    param tree (``SplitDense`` slices the very same ``dense_0`` kernel).
+    MEASURED SLOWER (0.65x) on the current chip: XLA fuses the COO gathers
+    straight into the one big ``[E,3h]x[3h,h]`` matmul, so splitting it
+    materializes two extra ``[E,h]`` HBM intermediates that outweigh the
+    FLOP saving (chained-step methodology, 2026-08-18). Kept as the fast
+    path for gather-hostile compilers/hardware.
     """
 
     hidden_size: int
     nb_of_layers: int = 4
     layer_norm: bool = True
     dtype: Any = None
+    project_before_gather: bool = False
 
     @nn.compact
     def __call__(
@@ -323,25 +401,42 @@ class GraphNetBlock(nn.Module):
             # in halo mode, the O(boundary) all_to_all exchange table.
             from graphphysics_tpu.ops.halo import partitioned_gather
 
-            x_recv = jnp.take(x, receivers, axis=0)
-            x_send = partitioned_gather(x, senders, partition_axis, halo_send_idx)
+            gather_recv = lambda p: jnp.take(p, receivers, axis=0)  # noqa: E731
+            gather_send = lambda p: partitioned_gather(  # noqa: E731
+                p, senders, partition_axis, halo_send_idx
+            )
         elif ell_degree is not None:
             # ELL fast path: receivers are slot owners -> broadcast; senders
             # gather with twin-permutation backward; no scatters anywhere.
-            x_recv = ell_repeat(x, ell_degree)
-            x_send = ell_gather(x, senders, twin_perm, ell_degree)
+            gather_recv = lambda p: ell_repeat(p, ell_degree)  # noqa: E731
+            gather_send = lambda p: ell_gather(  # noqa: E731
+                p, senders, twin_perm, ell_degree
+            )
         else:
-            x_recv = jnp.take(x, receivers, axis=0)
-            x_send = jnp.take(x, senders, axis=0)
-        edge_in = jnp.concatenate([edge_attr, x_recv, x_send], axis=-1)
-        edge_update = MLP(
-            hidden_size=self.hidden_size,
-            out_size=self.hidden_size,
-            nb_of_layers=self.nb_of_layers,
-            layer_norm=self.layer_norm,
-            dtype=self.dtype,
-            name="edge_block",
-        )(edge_in)
+            gather_recv = lambda p: jnp.take(p, receivers, axis=0)  # noqa: E731
+            gather_send = lambda p: jnp.take(p, senders, axis=0)  # noqa: E731
+
+        if self.project_before_gather:
+            edge_update = _FusedEdgeMLP(
+                hidden_size=self.hidden_size,
+                in_sizes=(edge_attr.shape[-1], x.shape[-1], x.shape[-1]),
+                nb_of_layers=self.nb_of_layers,
+                layer_norm=self.layer_norm,
+                dtype=self.dtype,
+                name="edge_block",
+            )((edge_attr, x, x), (None, gather_recv, gather_send))
+        else:
+            edge_in = jnp.concatenate(
+                [edge_attr, gather_recv(x), gather_send(x)], axis=-1
+            )
+            edge_update = MLP(
+                hidden_size=self.hidden_size,
+                out_size=self.hidden_size,
+                nb_of_layers=self.nb_of_layers,
+                layer_norm=self.layer_norm,
+                dtype=self.dtype,
+                name="edge_block",
+            )(edge_in)
 
         if ell_degree is not None:
             aggr = ell_segment_sum(edge_update, ell_degree, edge_mask)

@@ -77,6 +77,42 @@ def test_graphnet_block_residual_and_grad():
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
+def test_graphnet_block_project_before_gather_parity():
+    """The opt-in project-before-gather edge MLP is the same function with
+    the same param tree: identical outputs and gradients from shared params."""
+    g, _, _ = _graph_cfg()
+    h = 16
+    r0 = np.random.default_rng(3)
+    x = jnp.array(r0.normal(size=(g.num_nodes, h)), jnp.float32)
+    ea = jnp.array(r0.normal(size=(g.num_edges, h)), jnp.float32)
+    s, r, em = jnp.array(g.senders), jnp.array(g.receivers), jnp.array(g.edge_mask)
+
+    base = GraphNetBlock(hidden_size=h)
+    fused = GraphNetBlock(hidden_size=h, project_before_gather=True)
+    params = base.init(jax.random.key(0), x, ea, s, r, em)
+    params_f = fused.init(jax.random.key(0), x, ea, s, r, em)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params_f
+    )
+
+    xb, eb = base.apply(params, x, ea, s, r, em)
+    xf, ef = fused.apply(params, x, ea, s, r, em)
+    np.testing.assert_allclose(np.asarray(xf), np.asarray(xb), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ef), np.asarray(eb), rtol=2e-5, atol=1e-6)
+
+    def loss(m):
+        def f(p):
+            a, b = m.apply(p, x, ea, s, r, em)
+            return (a**2).sum() + (b**2).sum()
+        return f
+
+    gb = jax.grad(loss(base))(params)
+    gf = jax.grad(loss(fused))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gb), jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=1e-5)
+
+
 @pytest.mark.parametrize("shared_qkv", [True, False])
 def test_attention_shapes(shared_qkv):
     g, _, _ = _graph_cfg()
