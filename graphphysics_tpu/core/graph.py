@@ -238,6 +238,12 @@ def flatten_batched_graph(g: Graph) -> "Graph":
     so each device flattens only its local shard."""
     import jax.numpy as jnp
 
+    if g.halo_send_idx is not None:
+        raise ValueError(
+            "flatten_batched_graph: halo-partitioned graphs (halo_send_idx "
+            "set) use exchange-table-local senders and cannot be flattened; "
+            "feed them to the graph-parallel step instead"
+        )
     b, n = g.x.shape[0], g.x.shape[1]
 
     def flat(a):

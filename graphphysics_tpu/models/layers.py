@@ -338,6 +338,7 @@ class _FusedEdgeMLP(nn.Module):
 
     @nn.compact
     def __call__(self, parts, posts) -> jax.Array:
+        assert self.nb_of_layers >= 2
         y = SplitDense(
             self.hidden_size, self.in_sizes, dtype=self.dtype, name="dense_0"
         )(parts, posts)

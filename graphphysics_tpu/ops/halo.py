@@ -2,8 +2,10 @@
 
 The communication core of the SURVEY.md §2.4 north star: partition the edge
 list across chips and aggregate boundary-node contributions exactly, moving
-only O(boundary) rows per layer over ICI instead of all-gathering the full
-node table (the reference has no distributed analog; this is new design).
+only boundary rows per layer over ICI — a uniform-budget ``all_to_all`` of
+``(P-1) * B`` rows per device, ``B`` = max pairwise boundary — instead of
+all-gathering the full node table (the reference has no distributed analog;
+this is new design).
 
 Layout (built host-side by ``parallel.partition_graph_halo_np``):
 

@@ -100,6 +100,23 @@ def partition_graph_np(
     )
 
 
+def _halo_requests(senders_g, part_of_edge, nl, num_parts):
+    """requests[p][q]: sorted unique LOCAL row ids of part ``q`` needed by
+    part ``p`` (q != p); also returns the max request length."""
+    requests = [[np.empty(0, np.int64)] * num_parts for _ in range(num_parts)]
+    max_req = 0
+    for p in range(num_parts):
+        s_glob = senders_g[part_of_edge == p]
+        owners = s_glob // nl
+        for q in range(num_parts):
+            if q == p:
+                continue
+            uniq = np.unique(s_glob[owners == q] - q * nl)
+            requests[p][q] = uniq
+            max_req = max(max_req, len(uniq))
+    return requests, max_req
+
+
 def partition_graph_halo_np(
     graph: Graph,
     num_parts: int,
@@ -112,10 +129,12 @@ def partition_graph_halo_np(
     """Partition with HALO exchange: like ``partition_graph_np`` but senders
     are pre-remapped into the per-device exchange table and ``halo_send_idx``
     carries the boundary-row send lists, so per-layer communication is an
-    ``all_to_all`` of O(boundary) rows instead of a full-table ``all_gather``
-    (``ops.halo``). For contiguously-numbered mesh partitions the boundary is
-    the part's surface, so ICI volume drops from ``N*F`` to ``~surface*F``
-    per layer.
+    ``all_to_all`` of boundary rows instead of a full-table ``all_gather``
+    (``ops.halo``). Volume: the exchange is uniform-budget, so each device
+    ships ``(P-1) * B * F`` per layer where ``B`` is the max boundary between
+    any pair — for contiguously-numbered mesh partitions that is
+    O(max surface) per peer, still far below the all_gather's
+    ``(P-1)/P * N * F`` whenever boundaries are small vs parts.
 
     ``halo_send_idx`` is ``[P, P, B]`` stacked on the device axis: row
     ``[q, p]`` = local rows device ``q`` sends to device ``p``.
@@ -131,18 +150,7 @@ def partition_graph_halo_np(
     receivers_g = np.asarray(graph.receivers)
     part_of_edge = receivers_g // nl
 
-    # requests[p][q]: sorted unique LOCAL row ids of q needed by p (q != p)
-    requests = [[np.empty(0, np.int64)] * p_arr for _ in range(p_arr)]
-    max_req = 0
-    for p in range(p_arr):
-        s_glob = senders_g[part_of_edge == p]
-        owners = s_glob // nl
-        for q in range(p_arr):
-            if q == p:
-                continue
-            uniq = np.unique(s_glob[owners == q] - q * nl)
-            requests[p][q] = uniq
-            max_req = max(max_req, len(uniq))
+    requests, max_req = _halo_requests(senders_g, part_of_edge, nl, p_arr)
     b = halo_budget or max(
         halo_multiple, round_up(max_req, halo_multiple)
     )
@@ -157,8 +165,9 @@ def partition_graph_halo_np(
 
     # remap each part's senders: local -> local id; remote (owner q, request
     # slot r) -> nl + q*b + r; padding slots -> the part's last local row.
+    # (Masked edges of the source graph are self-loops by the pad_graph_np
+    # convention, so they never add remote requests.)
     s_new = np.full(base.senders.shape, nl - 1, np.int32)
-    edge_mask_g = np.asarray(graph.edge_mask)
     for p in range(p_arr):
         idx = np.flatnonzero(part_of_edge == p)
         k = len(idx)
@@ -209,12 +218,13 @@ def partition_frames_np(
         )
         budget = max(budget, _ru(int(counts.max()), 128))
     if halo:
-        halo_b = max(
-            partition_graph_halo_np(
-                f, num_parts, axis_name, edge_budget_local=budget
-            ).halo_send_idx.shape[-1]
-            for f in frames
-        )
+        halo_b = 8
+        for f in frames:
+            part_of_edge = np.asarray(f.receivers) // nl
+            _, max_req = _halo_requests(
+                np.asarray(f.senders), part_of_edge, nl, num_parts
+            )
+            halo_b = max(halo_b, _ru(max_req, 8))
         parts = [
             partition_graph_halo_np(
                 f, num_parts, axis_name,

@@ -205,11 +205,22 @@ def import_reference_state_dict(
         q_kernel_path = attn_path + ("q_proj", "kernel")
         for proj in ("k_proj", "v_proj"):
             kern = entries.get(f"{proj}.kernel")
-            if kern is not None and not _has(params, q_kernel_path):
-                raise ValueError(
-                    f"shared-qkv checkpoint is missing q_proj.weight under "
-                    f"{'/'.join(attn_path)}"
-                )
+            if kern is not None:
+                if not _has(params, q_kernel_path):
+                    raise ValueError(
+                        f"shared-qkv checkpoint is missing q_proj.weight under "
+                        f"{'/'.join(attn_path)}"
+                    )
+                node = params
+                for seg in q_kernel_path:
+                    node = node[seg]
+                if not np.array_equal(kern, np.asarray(node)):
+                    raise ValueError(
+                        f"checkpoint {proj}.weight differs from q_proj.weight "
+                        f"under {'/'.join(attn_path)}: it was trained with "
+                        f"separate q/k/v weights — build the model with "
+                        f"use_separate_proj_weight=True to import it"
+                    )
             bias = entries.get(f"{proj}.bias")
             if bias is not None:
                 q_bias = shared_q.get(attn_path)
@@ -261,9 +272,10 @@ def import_reference_checkpoint(checkpoint, variables) -> Dict[str, Any]:
     if isinstance(checkpoint, (str, bytes)) or hasattr(checkpoint, "__fspath__"):
         import torch  # local import: only needed for on-disk torch files
 
-        checkpoint = torch.load(
-            checkpoint, map_location="cpu", weights_only=False
-        )
+        # weights_only=True: the reference format is tensors / dicts /
+        # primitives only, and this path is advertised for third-party
+        # checkpoint files — never unpickle arbitrary objects from them.
+        checkpoint = torch.load(checkpoint, map_location="cpu", weights_only=True)
 
     params = import_reference_state_dict(
         checkpoint["model"], variables["params"]

@@ -253,6 +253,34 @@ def test_etd_state_dict_import_forward_parity(rng, separate):
     np.testing.assert_allclose(ours, golden, rtol=1e-4, atol=1e-5)
 
 
+def test_separate_weights_into_shared_model_raises(rng):
+    """A checkpoint trained with distinct q/k/v weights must NOT silently
+    import into a shared-qkv model."""
+    n, hidden, heads = 10, 8, 2
+    adj = np.eye(n, dtype=bool) | (rng.random((n, n)) > 0.5)
+    adj = adj | adj.T
+    s, r = np.nonzero(adj)
+
+    model = EncodeTransformDecode(
+        message_passing_num=1, node_input_size=5, output_size=2,
+        hidden_size=hidden, num_heads=heads, use_separate_proj_weight=False,
+    )
+    graph, _, _, _, _ = _graph(rng, n, len(s), 5, 0)
+    graph = Graph(
+        x=graph.x, pos=graph.pos,
+        senders=jnp.asarray(s.astype(np.int32)),
+        receivers=jnp.asarray(r.astype(np.int32)),
+        edge_attr=None, node_mask=graph.node_mask,
+        edge_mask=jnp.ones((len(s),), bool), y=None,
+    )
+    template = model.init(jax.random.key(0), graph)["params"]
+
+    torch_model = TorchETD(1, 5, 2, hidden, heads, use_separate_proj_weight=True)
+    sd = {f"model.{k}": v for k, v in torch_model.state_dict().items()}
+    with pytest.raises(ValueError, match="separate q/k/v"):
+        import_reference_state_dict(sd, {"model": template})
+
+
 def test_simulator_checkpoint_import_and_roundtrip(rng):
     """Full reference-format checkpoint (model + normalizer dicts) ->
     Simulator variables; then export -> import round-trips exactly."""
