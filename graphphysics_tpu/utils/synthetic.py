@@ -1,0 +1,186 @@
+"""Synthetic dataset generators with the reference dataset schemas —
+cylinder-flow-like h5 (CylinderFlow, ``dataset_config/cylinder_meta.json``),
+deforming-plate-like h5 (world_pos + target_features), and aneurysm-like
+xdmf with tetra cells. Used by the test suite, the examples, and the
+benchmarks; also handy to smoke-test a training setup before pointing it
+at real data."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import h5py
+import numpy as np
+
+from graphphysics_tpu.core.nodetype import NodeType
+from graphphysics_tpu.utils.xdmf import XdmfTimeSeriesWriter
+
+
+def triangulated_grid(nx: int, ny: int):
+    """Structured triangle mesh on [0,1]^2: returns (points [N,2], tris [T,3])."""
+    xs, ys = np.meshgrid(np.linspace(0, 1, nx), np.linspace(0, 1, ny), indexing="ij")
+    points = np.stack([xs.ravel(), ys.ravel()], axis=1).astype(np.float32)
+    tris = []
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            a = i * ny + j
+            b = (i + 1) * ny + j
+            c = i * ny + j + 1
+            d = (i + 1) * ny + j + 1
+            tris.append([a, b, c])
+            tris.append([b, d, c])
+    return points, np.array(tris, np.int32)
+
+
+def tet_grid(n: int):
+    """Structured tetra mesh on [0,1]^3 (5 tets per cube... simplified to 6)."""
+    xs, ys, zs = np.meshgrid(*([np.linspace(0, 1, n)] * 3), indexing="ij")
+    points = np.stack([xs.ravel(), ys.ravel(), zs.ravel()], axis=1).astype(np.float32)
+    tets = []
+    def vid(i, j, k):
+        return (i * n + j) * n + k
+    for i in range(n - 1):
+        for j in range(n - 1):
+            for k in range(n - 1):
+                v = [vid(i + a, j + b, k + c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+                # 6-tet decomposition of the cube
+                for t in ([0, 1, 3, 7], [0, 1, 5, 7], [0, 4, 5, 7],
+                          [0, 2, 3, 7], [0, 2, 6, 7], [0, 4, 6, 7]):
+                    tets.append([v[t[0]], v[t[1]], v[t[2]], v[t[3]]])
+    return points, np.array(tets, np.int32)
+
+
+def cylinder_node_types(points: np.ndarray) -> np.ndarray:
+    nt = np.full(len(points), int(NodeType.NORMAL), np.int32)
+    nt[points[:, 0] == 0.0] = int(NodeType.INFLOW)
+    nt[points[:, 0] == 1.0] = int(NodeType.OUTFLOW)
+    nt[(points[:, 1] == 0.0) | (points[:, 1] == 1.0)] = int(NodeType.WALL_BOUNDARY)
+    return nt
+
+
+def synth_velocity(points: np.ndarray, t: float) -> np.ndarray:
+    """A smooth, time-evolving 2D field (advecting vortex — learnable but
+    nontrivial)."""
+    x, y = points[:, 0], points[:, 1]
+    u = np.sin(2 * np.pi * (x - 0.3 * t)) * np.cos(np.pi * y)
+    v = 0.5 * np.cos(2 * np.pi * (x - 0.3 * t)) * np.sin(np.pi * y)
+    return np.stack([u, v], axis=1).astype(np.float32)
+
+
+def write_cylinder_h5(dirpath: str, num_traj=2, steps=12, nx=12, ny=8):
+    """CylinderFlow-schema h5 + meta.json; returns (h5_path, meta_path)."""
+    os.makedirs(dirpath, exist_ok=True)
+    points, tris = triangulated_grid(nx, ny)
+    n, c = len(points), len(tris)
+    h5_path = os.path.join(dirpath, "train.h5")
+    with h5py.File(h5_path, "w") as f:
+        for tr in range(num_traj):
+            g = f.create_group(str(tr))
+            g["cells"] = np.repeat(tris[None], steps, axis=0)
+            g["mesh_pos"] = np.repeat(points[None], steps, axis=0)
+            g["node_type"] = np.repeat(
+                cylinder_node_types(points)[None, :, None], steps, axis=0
+            )
+            vel = np.stack(
+                [synth_velocity(points, 0.05 * (t + 3 * tr)) for t in range(steps)]
+            )
+            g["velocity"] = vel
+    meta = {
+        "dt": 0.01,
+        "features": {
+            "cells": {"type": "static", "shape": [steps, -1, 3], "dtype": "int32"},
+            "mesh_pos": {"type": "static", "shape": [steps, -1, 2], "dtype": "float32"},
+            "node_type": {"type": "static", "shape": [steps, -1, 1], "dtype": "int32"},
+            "velocity": {"type": "dynamic", "shape": [steps, -1, 2], "dtype": "float32"},
+        },
+        "field_names": ["cells", "mesh_pos", "node_type", "velocity"],
+        "trajectory_length": steps,
+    }
+    meta_path = os.path.join(dirpath, "meta.json")
+    with open(meta_path, "w") as fp:
+        json.dump(meta, fp)
+    return h5_path, meta_path
+
+
+def write_plate_h5(dirpath: str, num_traj=1, steps=8, n=5):
+    """DeformingPlate-schema h5 (3D tetra, world_pos dynamic, target_features)."""
+    os.makedirs(dirpath, exist_ok=True)
+    points, tets = tet_grid(n)
+    nt = np.full(len(points), int(NodeType.NORMAL), np.int32)
+    nt[points[:, 2] == 0.0] = int(NodeType.HANDLE)
+    nt[points[:, 2] == 1.0] = int(NodeType.OBSTACLE)
+    h5_path = os.path.join(dirpath, "train.h5")
+    with h5py.File(h5_path, "w") as f:
+        for tr in range(num_traj):
+            g = f.create_group(str(tr))
+            g["cells"] = np.repeat(tets[None], steps, axis=0)
+            g["mesh_pos"] = np.repeat(points[None], steps, axis=0)
+            g["node_type"] = np.repeat(nt[None, :, None], steps, axis=0)
+            wp = np.stack(
+                [
+                    points + 0.02 * t * np.array([0, 0, 1], np.float32)
+                    for t in range(steps)
+                ]
+            )
+            g["world_pos"] = wp.astype(np.float32)
+    meta = {
+        "dt": 0,
+        "features": {
+            "cells": {"type": "static", "shape": [steps, -1, 4], "dtype": "int32"},
+            "node_type": {"type": "static", "shape": [steps, -1, 1], "dtype": "int32"},
+            "mesh_pos": {"type": "static", "shape": [steps, -1, 3], "dtype": "float32"},
+            "world_pos": {"type": "dynamic", "shape": [steps, -1, 3], "dtype": "float32"},
+        },
+        "target_features": ["world_pos"],
+        "field_names": ["cells", "node_type", "mesh_pos", "world_pos"],
+        "trajectory_length": steps,
+    }
+    meta_path = os.path.join(dirpath, "meta.json")
+    with open(meta_path, "w") as fp:
+        json.dump(meta, fp)
+    return h5_path, meta_path
+
+
+def write_aneurysm_xdmf(dirpath: str, num_traj=2, steps=9, n=4):
+    """Aneurysm-schema xdmf folder (tetra, Vitesse + wall_mask) + meta.json."""
+    os.makedirs(dirpath, exist_ok=True)
+    points, tets = tet_grid(n)
+    # shift so the inflow/outflow plane y == 0 exists and x spans +-0.5
+    points = points - np.array([0.5, 0.0, 0.0], np.float32)
+    wall = (
+        (points[:, 0] == points[:, 0].min())
+        | (points[:, 0] == points[:, 0].max())
+        | (points[:, 2] == points[:, 2].min())
+        | (points[:, 2] == points[:, 2].max())
+    ).astype(np.float32)
+    for tr in range(num_traj):
+        fn = os.path.join(dirpath, f"mesh_{tr}.xdmf")
+        with XdmfTimeSeriesWriter(fn) as w:
+            w.write_points_cells(points.astype(np.float64), tets, cell_type="tetra")
+            for t in range(steps):
+                phase = 0.05 * (t + 2 * tr)
+                vit = np.stack(
+                    [
+                        np.sin(2 * np.pi * (points[:, 0] - phase)),
+                        0.3 * np.cos(2 * np.pi * (points[:, 1] - phase)),
+                        0.1 * np.sin(2 * np.pi * (points[:, 2] + phase)),
+                    ],
+                    axis=1,
+                ).astype(np.float32) * (1.0 - wall[:, None])
+                w.write_data(0.01 * t, {"Vitesse": vit, "wall_mask": wall})
+    meta = {
+        "dt": 0.01,
+        "features": {
+            "cells": {"type": "static", "shape": [steps, -1, 3], "dtype": "int32"},
+            "mesh_pos": {"type": "static", "shape": [steps, -1, 3], "dtype": "float32"},
+            "Vitesse": {"type": "dynamic", "shape": [steps, -1, 3], "dtype": "float32"},
+            "wall_mask": {"type": "static", "shape": [steps, -1, 1], "dtype": "float32"},
+        },
+        "field_names": ["cells", "mesh_pos", "Vitesse", "wall_mask"],
+        "trajectory_length": steps,
+    }
+    meta_path = os.path.join(dirpath, "meta.json")
+    with open(meta_path, "w") as fp:
+        json.dump(meta, fp)
+    return dirpath, meta_path
