@@ -162,9 +162,14 @@ class BaseDataset(abc.ABC):
     # ------------------------------------------------------------ pipeline
 
     def _apply_k_hop(self, sample: RawSample, traj_index: int) -> RawSample:
-        """k-hop adjacency expansion with per-trajectory cache; edge features
-        are recomputed from scratch on the k-hop graph, matching the
-        reference ``compute_k_hop_graph`` (``torch_graph.py:56-112``)."""
+        """k-hop adjacency expansion with per-trajectory cache. On the first
+        frame of a trajectory, edge features are recomputed from scratch on
+        the k-hop graph (reference ``compute_k_hop_graph``,
+        ``torch_graph.py:56-112``); every later frame reuses the cached
+        edge index AND edge features — faithfully mirroring the reference's
+        cache (``dataset/dataset.py:150-168``), including its staleness for
+        frame-varying inputs (world edges / world-pos features / noise are
+        frozen from the cached frame when combined with khop > 1)."""
         if self.khop <= 1:
             return sample
         if traj_index in self._khop_edges_cache:

@@ -67,8 +67,10 @@ def frame_to_sample(
     if "node_type" in traj:
         point_data["node_type"] = traj["node_type"][0]
 
-    mesh_pos = traj["mesh_pos"][frame] if traj["mesh_pos"].ndim > 1 else traj["mesh_pos"]
-    cells = traj["cells"][frame] if traj["cells"].ndim > 1 else traj["cells"]
+    # per-frame arrays are [T, N, k] after the meta reshape; a static array
+    # stored without the time axis ([N, k], ndim 2) is used as-is
+    mesh_pos = traj["mesh_pos"][frame] if traj["mesh_pos"].ndim > 2 else traj["mesh_pos"]
+    cells = traj["cells"][frame] if traj["cells"].ndim > 2 else traj["cells"]
 
     time = frame * meta.get("dt", 1)
     return meshdata_to_sample(
@@ -150,6 +152,14 @@ class H5Dataset(BaseDataset):
             sample.previous_data = prev.x
         sample.traj_index = traj_index
         return sample
+
+    def reset_process_state(self):
+        """Drop the open h5 handle + trajectory cache. Called in freshly
+        forked loader workers (``loader._init_worker``): a handle inherited
+        through fork shares the OS file description with the parent and
+        HDF5 is not fork-safe — each process must reopen its own."""
+        self._file = None
+        self._traj_cache = OrderedDict()
 
     def __getstate__(self):
         state = dict(self.__dict__)

@@ -94,14 +94,12 @@ class GraphLoader:
         """Workers must inherit CONCRETE static-shape state (budgets, ELL
         degree) or each would derive its own and pad to different shapes."""
         ds = self.dataset
-        lazy = (
-            getattr(ds, "node_budget", 1) is None
-            or getattr(ds, "edge_budget", 1) is None
-            or (
-                getattr(ds, "edge_layout", "coo") == "ell"
-                and getattr(ds, "ell_degree", 1) is None
-            )
-        )
+        layout = getattr(ds, "edge_layout", "coo")
+        lazy = getattr(ds, "node_budget", 1) is None or (
+            # edge_budget stays None on the ELL path (ell_degree is its
+            # static-shape state) — only the COO layout pads by edge budget
+            layout == "coo" and getattr(ds, "edge_budget", 1) is None
+        ) or (layout == "ell" and getattr(ds, "ell_degree", 1) is None)
         if lazy:
             ds[int(order[0])]
 
@@ -210,6 +208,13 @@ _WORKER_DATASET = None
 def _init_worker(dataset):
     global _WORKER_DATASET
     _WORKER_DATASET = dataset
+    # Under fork the parent's open state is INHERITED (initargs are not
+    # pickled, so __getstate__-based reopen never runs): drop any open h5
+    # handle — sharing one OS file description across forked processes
+    # corrupts HDF5 reads — and per-process caches.
+    reset = getattr(dataset, "reset_process_state", None)
+    if reset is not None:
+        reset()
 
 
 def _worker_get(index: int):

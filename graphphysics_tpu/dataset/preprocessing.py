@@ -87,14 +87,16 @@ def add_obstacles_next_pos(
 ) -> RawSample:
     """Insert the obstacles' next-step displacement as an input feature
     (DeformingPlate pipeline, reference ``preprocessing.py:49-89``). The given
-    ``node_type_index`` is the index AFTER insertion, hence the ``- 3``."""
+    ``node_type_index`` is the index AFTER insertion, so it is shifted back by
+    the inserted width (the reference hardcodes ``- 3`` for its 3D plate,
+    ``preprocessing.py:78-81``; this generalizes to any world-pos width)."""
     wps, wpe = world_pos_index_start, world_pos_index_end
     world_pos = sample.x[:, wps:wpe]
     other = sample.x[:, wpe:]
     target_world_pos = sample.y[:, wps:wpe]
     displacement = target_world_pos - world_pos
 
-    node_type = sample.x[:, node_type_index - 3]
+    node_type = sample.x[:, node_type_index - (wpe - wps)]
     obstacle = node_type == NodeType.OBSTACLE
     mean_disp = displacement[obstacle].mean(axis=0) if obstacle.any() else 0.0
     displacement = np.where(obstacle[:, None], displacement, mean_disp)

@@ -86,6 +86,7 @@ class Trainer:
         self.tx = None
         self._train_step = None
         self._val_traj_cache: Dict[int, Graph] = {}
+        self._val_traj_cache_owner = None
 
     # ---------------------------------------------------------------- setup
 
@@ -252,6 +253,12 @@ class Trainer:
     # ----------------------------------------------------------- validation
 
     def _stacked_trajectory(self, val_dataset, traj: int) -> Graph:
+        # cache is per-dataset: validate(val_ds) then predict(test_ds) must
+        # not serve the first dataset's trajectories for the second
+        key = id(val_dataset)
+        if key != self._val_traj_cache_owner:
+            self._val_traj_cache.clear()
+            self._val_traj_cache_owner = key
         if traj not in self._val_traj_cache:
             frames = [val_dataset[i] for i in val_dataset.trajectory_indices(traj)]
             self._val_traj_cache[traj] = stack_graphs(frames)

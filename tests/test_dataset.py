@@ -267,6 +267,24 @@ def test_loader_multiprocess_workers(cylinder):
         np.testing.assert_array_equal(a.senders, b.senders)
 
 
+def test_worker_init_resets_inherited_h5_handle(cylinder):
+    """Fork inherits the parent's open h5 handle (initargs are not pickled,
+    so __getstate__ never runs): _init_worker must drop it so each worker
+    reopens its own file description."""
+    from graphphysics_tpu.dataset.loader import _init_worker
+
+    h5_path, meta_path = cylinder
+    ds = H5Dataset(
+        h5_path=h5_path, meta_path=meta_path, preprocessing=_cyl_preproc(),
+        node_type_index=2,
+    )
+    _ = ds[0]  # opens the handle + fills the trajectory cache in the parent
+    assert ds._file is not None
+    _init_worker(ds)
+    assert ds._file is None and len(ds._traj_cache) == 0
+    _ = ds[0]  # worker-side access reopens cleanly
+
+
 def test_mixed_size_budget_scan(tmp_path):
     """Datasets with different node counts per trajectory must size budgets
     from the LARGEST trajectory (not the first item served), so later

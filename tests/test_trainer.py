@@ -134,6 +134,20 @@ def test_predict_writes_xdmf(cylinder_env, tmp_path):
         assert "prediction" in pd
 
 
+def test_val_trajectory_cache_is_per_dataset(cylinder_env):
+    """validate(val_ds) then predict(test_ds) must not serve the first
+    dataset's cached trajectories for the second."""
+    tmp, param = cylinder_env
+    val_pre = get_preprocessing(param, remove_noise=True)
+    ds1 = get_dataset(param, val_pre, switch_to_val=True)
+    ds2 = get_dataset(param, val_pre, switch_to_val=True)
+    trainer = Trainer(param)
+    g1 = trainer._stacked_trajectory(ds1, 0)
+    assert trainer._stacked_trajectory(ds1, 0) is g1  # cache hit, same ds
+    g2 = trainer._stacked_trajectory(ds2, 0)
+    assert g2 is not g1  # fresh dataset -> cache rebuilt
+
+
 def test_cli_train_smoke(cylinder_env, tmp_path, monkeypatch):
     tmp, param = cylinder_env
     cfg_path = tmp_path / "cfg.json"
