@@ -291,6 +291,12 @@ def concat_graphs(graphs: list) -> Graph:
     for g in graphs:
         if g.num_nodes != n or g.num_edges != e:
             raise ValueError("concat_graphs requires identical padded shapes")
+        if g.partition_axis is not None or g.halo_send_idx is not None:
+            raise ValueError(
+                "concat_graphs: partitioned graphs (partition_axis / "
+                "halo_send_idx set) have shard-local index spaces and cannot "
+                "be concat-batched; batch BEFORE partitioning"
+            )
 
     def cat(field):
         vals = [getattr(g, field) for g in graphs]

@@ -20,6 +20,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from graphphysics_tpu.ops.halo import partitioned_gather
 from graphphysics_tpu.ops.ell_ops import (
     ell_gather,
     ell_repeat,
@@ -93,8 +94,6 @@ def sparse_graph_attention(
         # global table — or the O(boundary) halo exchange table (ops.halo) —
         # softmax + aggregation are local segment ops. Equals the COO
         # convention on the symmetric mesh adjacency.
-        from graphphysics_tpu.ops.halo import partitioned_gather
-
         q_e = jnp.take(q2, receivers, axis=0)
         kv_e = partitioned_gather(kv2, senders, partition_axis, halo_send_idx)
         k_e, v_e = kv_e[:, :d], kv_e[:, d:]

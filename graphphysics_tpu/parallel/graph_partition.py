@@ -100,13 +100,14 @@ def partition_graph_np(
     )
 
 
-def _halo_requests(senders_g, part_of_edge, nl, num_parts):
+def _halo_requests(senders_g, part_of_edge, edge_mask_g, nl, num_parts):
     """requests[p][q]: sorted unique LOCAL row ids of part ``q`` needed by
-    part ``p`` (q != p); also returns the max request length."""
+    part ``p`` (q != p); also returns the max request length. Masked edges
+    contribute no requests (their senders may be arbitrary)."""
     requests = [[np.empty(0, np.int64)] * num_parts for _ in range(num_parts)]
     max_req = 0
     for p in range(num_parts):
-        s_glob = senders_g[part_of_edge == p]
+        s_glob = senders_g[(part_of_edge == p) & edge_mask_g]
         owners = s_glob // nl
         for q in range(num_parts):
             if q == p:
@@ -125,6 +126,7 @@ def partition_graph_halo_np(
     edge_budget_local: Optional[int] = None,
     halo_multiple: int = 8,
     halo_budget: Optional[int] = None,
+    _requests=None,
 ) -> Graph:
     """Partition with HALO exchange: like ``partition_graph_np`` but senders
     are pre-remapped into the per-device exchange table and ``halo_send_idx``
@@ -148,9 +150,15 @@ def partition_graph_halo_np(
 
     senders_g = np.asarray(graph.senders)
     receivers_g = np.asarray(graph.receivers)
+    edge_mask_g = np.asarray(graph.edge_mask)
     part_of_edge = receivers_g // nl
 
-    requests, max_req = _halo_requests(senders_g, part_of_edge, nl, p_arr)
+    if _requests is not None:
+        requests, max_req = _requests
+    else:
+        requests, max_req = _halo_requests(
+            senders_g, part_of_edge, edge_mask_g, nl, p_arr
+        )
     b = halo_budget or max(
         halo_multiple, round_up(max_req, halo_multiple)
     )
@@ -164,9 +172,8 @@ def partition_graph_halo_np(
             halo_send[q, p, : len(req)] = req
 
     # remap each part's senders: local -> local id; remote (owner q, request
-    # slot r) -> nl + q*b + r; padding slots -> the part's last local row.
-    # (Masked edges of the source graph are self-loops by the pad_graph_np
-    # convention, so they never add remote requests.)
+    # slot r) -> nl + q*b + r; masked and padding slots -> the part's last
+    # local row (any in-range value works — they are excluded by edge_mask).
     s_new = np.full(base.senders.shape, nl - 1, np.int32)
     for p in range(p_arr):
         idx = np.flatnonzero(part_of_edge == p)
@@ -174,13 +181,14 @@ def partition_graph_halo_np(
         s_glob = senders_g[idx]
         owners = s_glob // nl
         local = (s_glob - owners * nl).astype(np.int64)
-        out = np.empty(k, np.int32)
-        own = owners == p
+        em = edge_mask_g[idx]
+        out = np.full(k, nl - 1, np.int32)
+        own = (owners == p) & em
         out[own] = local[own]
         for q in range(p_arr):
             if q == p:
                 continue
-            sel = owners == q
+            sel = (owners == q) & em
             if not sel.any():
                 continue
             slots = np.searchsorted(requests[p][q], local[sel])
@@ -218,19 +226,22 @@ def partition_frames_np(
         )
         budget = max(budget, _ru(int(counts.max()), 128))
     if halo:
+        per_frame = []
         halo_b = 8
         for f in frames:
             part_of_edge = np.asarray(f.receivers) // nl
-            _, max_req = _halo_requests(
-                np.asarray(f.senders), part_of_edge, nl, num_parts
+            req = _halo_requests(
+                np.asarray(f.senders), part_of_edge,
+                np.asarray(f.edge_mask), nl, num_parts,
             )
-            halo_b = max(halo_b, _ru(max_req, 8))
+            per_frame.append(req)
+            halo_b = max(halo_b, _ru(req[1], 8))
         parts = [
             partition_graph_halo_np(
                 f, num_parts, axis_name,
-                edge_budget_local=budget, halo_budget=halo_b,
+                edge_budget_local=budget, halo_budget=halo_b, _requests=req,
             )
-            for f in frames
+            for f, req in zip(frames, per_frame)
         ]
     else:
         parts = [
