@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from graphphysics_tpu.core import normalizer as norm
 from graphphysics_tpu.core.graph import Graph
 from graphphysics_tpu.core.nodetype import NodeType
-from graphphysics_tpu.models.gmm import sample_gmm_diagonal
+from graphphysics_tpu.models.gmm import sample_gmm, sample_gmm_diagonal
 
 
 class Normalizer(nn.Module):
@@ -173,12 +173,21 @@ class Simulator(nn.Module):
         if self.model.K == 0:
             update = self._output_normalizer.inverse(network_output)
         else:
-            sampled = sample_gmm_diagonal(
+            # temperature 0.0 is a valid setting (deterministic means,
+            # reference simulator.py:342) — only None defaults to 1.0
+            temp = self.model.temperature
+            temp = 1.0 if temp is None else temp
+            sampler = (
+                sample_gmm_diagonal
+                if getattr(self.model, "use_diagonal", True)
+                else sample_gmm
+            )
+            sampled = sampler(
                 self.make_rng("sample"),
                 network_output,
                 d=self.model.d,
                 K=self.model.K,
-                temperature=self.model.temperature or 1.0,
+                temperature=temp,
             )
             update = self._output_normalizer.inverse(sampled)
         outputs = pre_target + update

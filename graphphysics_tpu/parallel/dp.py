@@ -16,7 +16,6 @@ collectives over ICI:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Sequence
 
 import jax
@@ -50,7 +49,7 @@ def merge_normalizer_states(old, new, axis_name: str):
     return jax.tree_util.tree_map(merge, old, new, is_leaf=is_state)
 
 
-def _make_local_loss(sim, masks, loss_kind, gmm_kwargs):
+def _make_local_loss(masks, loss_kind, gmm_kwargs):
     masks = [int(m) for m in masks]
     gmm_kwargs = gmm_kwargs or {}
 
@@ -82,11 +81,48 @@ def make_dp_train_step(
     """Build the jitted SPMD train step: ``step(state, stacked_batch)`` where
     state is replicated and the batch leaves are ``[B, ...]`` sharded on
     axis 0."""
-    nti = sim.config.node_type_index
-    local_loss = _make_local_loss(sim, masks, loss_kind, gmm_kwargs)
+    return _make_sharded_train_step(
+        sim, tx, masks, mesh, axis_name, flatten_batched_graph,
+        loss_kind, gmm_kwargs,
+    )
 
-    def per_shard(params, normalizer, opt_state, batch: Graph):
-        graph = flatten_batched_graph(batch)
+
+def make_graph_parallel_train_step(
+    sim,
+    tx: optax.GradientTransformation,
+    masks: Sequence[int],
+    mesh: Mesh,
+    graph_axis: str = "graph",
+    loss_kind: str = "l2",
+    gmm_kwargs: dict | None = None,
+) -> Callable:
+    """SPMD train step over an EDGE-PARTITIONED single graph
+    (``parallel.graph_partition``): ``step(state, partitioned)`` where the
+    partitioned Graph's leaves are ``[P, ...]`` sharded on axis 0 over
+    ``graph_axis``. Per-layer collectives inside the model (all_gather or
+    halo all_to_all) ride ICI; loss / gradients / normalizer statistics psum
+    over the graph axis so the result matches the unpartitioned
+    single-device step exactly."""
+
+    def local_shard(stacked: Graph) -> Graph:
+        # [1, ...] local shard -> local Graph
+        return jax.tree_util.tree_map(lambda a: a[0], stacked)
+
+    return _make_sharded_train_step(
+        sim, tx, masks, mesh, graph_axis, local_shard, loss_kind, gmm_kwargs
+    )
+
+
+def _make_sharded_train_step(
+    sim, tx, masks, mesh, axis_name, local_graph_fn, loss_kind, gmm_kwargs
+) -> Callable:
+    """Shared body of the DP and graph-parallel steps: they differ only in
+    the sharding axis and how a device turns its shard into a local Graph."""
+    nti = sim.config.node_type_index
+    local_loss = _make_local_loss(masks, loss_kind, gmm_kwargs)
+
+    def per_shard(params, normalizer, opt_state, shard):
+        graph = local_graph_fn(shard)
 
         # Phase 1: accumulate local statistics, psum-merge the deltas so the
         # forward normalizes with the GLOBAL batch statistics (single-device
@@ -141,95 +177,9 @@ def make_dp_train_step(
     )
 
     @jax.jit
-    def step(state, batch: Graph):
+    def step(state, shard):
         new_params, new_norm, new_opt, loss = sharded(
-            state["params"], state["normalizer"], state["opt_state"], batch
-        )
-        return {
-            "params": new_params,
-            "normalizer": new_norm,
-            "opt_state": new_opt,
-            "step": state["step"] + 1,
-        }, loss
-
-    return step
-
-
-
-
-def make_graph_parallel_train_step(
-    sim,
-    tx: optax.GradientTransformation,
-    masks: Sequence[int],
-    mesh: Mesh,
-    graph_axis: str = "graph",
-    loss_kind: str = "l2",
-    gmm_kwargs: dict | None = None,
-) -> Callable:
-    """SPMD train step over an EDGE-PARTITIONED single graph
-    (``parallel.graph_partition``): ``step(state, partitioned)`` where the
-    partitioned Graph's leaves are ``[P, ...]`` sharded on axis 0 over
-    ``graph_axis``. Per-layer ``all_gather``s inside the model ride ICI;
-    loss / gradients / normalizer statistics psum over the graph axis so the
-    result matches the unpartitioned single-device step exactly."""
-    nti = sim.config.node_type_index
-    local_loss = _make_local_loss(sim, masks, loss_kind, gmm_kwargs)
-
-    def per_shard(params, normalizer, opt_state, stacked: Graph):
-        # [1, ...] local shard -> local Graph
-        graph = jax.tree_util.tree_map(lambda a: a[0], stacked)
-
-        from graphphysics_tpu.models.simulator import Simulator
-
-        _, mutated = sim.apply(
-            {"params": params, "normalizer": normalizer},
-            graph,
-            method=Simulator.accumulate_stats,
-            mutable=["normalizer"],
-        )
-        merged_norm = merge_normalizer_states(
-            normalizer, mutated["normalizer"], graph_axis
-        )
-
-        def loss_fn(p):
-            out, target_dn, _ = sim.apply(
-                {"params": p, "normalizer": merged_norm},
-                graph,
-                is_training=True,
-                accumulate_stats=False,
-            )
-            node_type = graph.x[:, nti].astype(jnp.int32)
-            loss_sum, count = local_loss(
-                target_dn, out, node_type, graph.node_mask, graph.exclude_mask
-            )
-            loss = loss_sum / jnp.maximum(count, 1.0)
-            return loss, count
-
-        (loss, count), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-
-        total = jax.lax.psum(count, graph_axis)
-        w = count / jnp.maximum(total, 1.0)
-        grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(g * w, graph_axis), grads
-        )
-        gloss = jax.lax.psum(loss * w, graph_axis)
-
-        updates, new_opt = tx.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        return new_params, merged_norm, new_opt, gloss
-
-    sharded = shard_map(
-        per_shard,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(graph_axis)),
-        out_specs=(P(), P(), P(), P()),
-        check_vma=False,
-    )
-
-    @jax.jit
-    def step(state, partitioned: Graph):
-        new_params, new_norm, new_opt, loss = sharded(
-            state["params"], state["normalizer"], state["opt_state"], partitioned
+            state["params"], state["normalizer"], state["opt_state"], shard
         )
         return {
             "params": new_params,

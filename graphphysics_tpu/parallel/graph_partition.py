@@ -9,9 +9,11 @@ A single large mesh graph is partitioned across a ``graph`` mesh axis:
   receiver; for the transformer path the dataset emits the transposed edge
   list, valid on the symmetric mesh adjacency), so segment reductions and
   softmaxes are conflict-free local ops;
-- the only communication is an ``all_gather`` of the node-feature table per
-  message-passing layer for the ``x[senders]`` gather (XLA lowers the
-  backward to a ``reduce_scatter``) — both ride ICI.
+- the only communication is per message-passing layer, for the
+  ``x[senders]`` gather: an ``all_gather`` of the node-feature table
+  (backward: ``reduce_scatter``) with ``partition_graph_np``, or an
+  ``all_to_all`` of precomputed boundary rows (``ops.halo``) with
+  ``partition_graph_halo_np`` — either way riding ICI.
 
 The model code is unchanged: a Graph whose static ``partition_axis`` is set
 routes the gather through the collective (see ``models.layers``).
@@ -84,7 +86,7 @@ def partition_graph_np(
         r_p[p, :k] = receivers[idx] - p * nl
         m_p[p, :k] = edge_mask[idx]
         if ea_p is not None:
-            ea_p[p, :k] = np.asarray(graph.edge_attr)[idx]
+            ea_p[p, :k] = ea[idx]
 
     return Graph(
         x=node_field(graph.x),

@@ -80,7 +80,8 @@ class Trainer:
         self.sim = get_simulator(parameters)
         self.K = self.sim.model.K
         self.d = self.sim.model.d
-        self.temperature = self.sim.model.temperature or 1.0
+        t = self.sim.model.temperature
+        self.temperature = 1.0 if t is None else t  # 0.0 is valid
 
         self.state: Optional[Dict[str, Any]] = None
         self.tx = None

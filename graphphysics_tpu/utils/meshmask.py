@@ -80,9 +80,14 @@ def reconstruct_graph(
     x = jnp.where(keep_mask[:, None], latent_x, node_mask_token[None, :])
     edge_attr = graph.edge_attr
     if latent_edge_attr is not None:
-        if encoded_raw_edge_attr is None or edge_mask_token is None:
+        if (
+            encoded_raw_edge_attr is None
+            or edge_mask_token is None
+            or edges_visible is None
+        ):
             raise ValueError(
-                "edge reconstruction needs encoded_raw_edge_attr and edge_mask_token"
+                "edge reconstruction needs edges_visible, "
+                "encoded_raw_edge_attr, and edge_mask_token"
             )
         hidden_edges = encoded_raw_edge_attr + edge_mask_token[None, :]
         edge_attr = jnp.where(

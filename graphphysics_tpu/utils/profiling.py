@@ -63,7 +63,7 @@ def time_chained_steps(
     through) and block only at the end. Returns (seconds_per_step, state)."""
     for _ in range(warmup):
         state, loss = step_fn(state, batch)
-    jax.block_until_ready(loss)
+        jax.block_until_ready(loss)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss = step_fn(state, batch)

@@ -36,11 +36,12 @@ def render_field_image(
 
     pts = np.asarray(points)
     fig, ax = plt.subplots(figsize=(6, 4), dpi=100)
-    tri = _tri(cells)
     if pts.shape[1] >= 3 and np.ptp(pts[:, 2]) > 1e-9:
+        # volumetric mesh: scatter projection — no face extraction needed
         sc = ax.scatter(pts[:, 0], pts[:, 1], c=values, s=4, cmap="viridis")
     else:
-        sc = ax.tripcolor(pts[:, 0], pts[:, 1], tri, values, shading="gouraud")
+        sc = ax.tripcolor(pts[:, 0], pts[:, 1], _tri(cells), values,
+                          shading="gouraud")
     fig.colorbar(sc, ax=ax)
     ax.set_title(title)
     ax.set_aspect("equal")

@@ -62,10 +62,15 @@ class XdmfTimeSeriesWriter:
         self._h5 = h5py.File(self.h5_filename, "w")
         return self
 
-    def __exit__(self, *exc) -> None:
-        self._write_xml()
-        if self._h5 is not None:
-            self._h5.close()
+    def __exit__(self, exc_type, exc_value, tb) -> None:
+        try:
+            # only finalize a complete, non-failed write; otherwise don't
+            # mask the in-body exception (or KeyError on an empty writer)
+            if exc_type is None and self._topo_type is not None:
+                self._write_xml()
+        finally:
+            if self._h5 is not None:
+                self._h5.close()
 
     def _store(self, arr: np.ndarray) -> str:
         name = f"data{self._data_counter}"
@@ -81,7 +86,13 @@ class XdmfTimeSeriesWriter:
         (first block used)."""
         if isinstance(cells, (list, tuple)) and len(cells) and not np.isscalar(cells[0]):
             first = cells[0]
-            if isinstance(first, (list, tuple)):
+            # meshio-style block: ("triangle", array) — a plain nested list
+            # [[0,1,2], ...] is connectivity, not a block
+            if (
+                isinstance(first, (list, tuple))
+                and len(first) == 2
+                and isinstance(first[0], str)
+            ):
                 cell_type, cells = first[0], np.asarray(first[1])
             else:
                 cells = np.asarray(cells)
@@ -200,8 +211,10 @@ class XdmfTimeSeriesReader:
         if geom is None or topo is None:
             # meshio writes them once on the first uniform grid
             g0 = self._grids[0]
-            geom = geom or g0.find("Geometry")
-            topo = topo or g0.find("Topology")
+            if geom is None:
+                geom = g0.find("Geometry")
+            if topo is None:
+                topo = g0.find("Topology")
         return geom, topo
 
     def read_points_cells(self) -> Tuple[np.ndarray, List[Tuple[str, np.ndarray]]]:

@@ -10,7 +10,7 @@ from graphphysics_tpu.models.simulator import Simulator, SimulatorConfig
 from tests.conftest import make_test_graph
 
 
-def _build(num_mixture_components=0):
+def _build(num_mixture_components=0, use_diagonal=True, temperature=1.0):
     g = make_test_graph()
     gj = jax.tree_util.tree_map(jnp.asarray, g)
     cfg = SimulatorConfig(
@@ -30,7 +30,8 @@ def _build(num_mixture_components=0):
         output_size=2,
         hidden_size=16,
         num_mixture_components=num_mixture_components,
-        temperature=1.0,
+        use_diagonal=use_diagonal,
+        temperature=temperature,
     )
     sim = Simulator(config=cfg, model=model)
     variables = sim.init(
@@ -82,6 +83,34 @@ def test_eval_gmm_sampling_shapes():
     )
     assert outputs.shape == (gj.num_nodes, 2)
     assert bool(jnp.all(jnp.isfinite(outputs)))
+
+
+def test_eval_full_covariance_gmm_sampling():
+    """use_diagonal=False must route through the full-covariance sampler
+    (the head emits K*(1 + d + d(d+1)/2) columns, not K*(2d+1))."""
+    sim, variables, gj = _build(num_mixture_components=2, use_diagonal=False)
+    (raw, _, outputs), _ = sim.apply(
+        variables, gj, is_training=False, mutable=[],
+        rngs={"sample": jax.random.key(3)},
+    )
+    assert raw.shape == (gj.num_nodes, 2 * (1 + 2 + 3))
+    assert outputs.shape == (gj.num_nodes, 2)
+    assert bool(jnp.all(jnp.isfinite(outputs)))
+
+
+def test_eval_gmm_temperature_zero_is_deterministic():
+    """temperature=0.0 is a valid config (deterministic component means) and
+    must not be silently replaced by 1.0."""
+    sim, variables, gj = _build(num_mixture_components=2, temperature=0.0)
+    (_, _, a), _ = sim.apply(variables, gj, is_training=False, mutable=[],
+                             rngs={"sample": jax.random.key(1)})
+    (_, _, b), _ = sim.apply(variables, gj, is_training=False, mutable=[],
+                             rngs={"sample": jax.random.key(2)})
+    # zero temperature: no sampling noise -> identical outputs across keys
+    # (component CHOICE is still random, but with shared pre_proj init the
+    # mixture means dominate; require near-equality of the noise part)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-5)
 
 
 def test_target_delta_semantics():
