@@ -81,28 +81,34 @@ def main():
             state["params"]
         )
         updates, opt = tx.update(grads, state["opt_state"], state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        # probe depends on the UPDATED params: fetching it to the host cannot
+        # complete before the whole step has executed (block_until_ready has
+        # been observed to return early through the tunnel, 2026-08-18)
+        probe = loss + jax.tree_util.tree_leaves(new_params)[0].ravel()[0] * 0
         return {
-            "params": optax.apply_updates(state["params"], updates),
+            "params": new_params,
             "normalizer": norm,
             "opt_state": opt,
             "step": state["step"] + 1,
-        }, loss
+        }, probe
 
     # warmup / compile
     for _ in range(3):
-        state, loss = step(state, graph)
-    jax.block_until_ready(loss)
+        state, probe = step(state, graph)
+    float(probe)
 
     # The tunnel shows up to 2x variance ACROSS invocations from host/link
     # contention; within a run, take the fastest of 7 x 50-step dependent
     # chains — the machine's demonstrated capability, robust to interference.
+    # Synchronize by FETCHING a scalar that depends on the updated params.
     iters = 50
     times = []
     for _ in range(7):
         t0 = time.perf_counter()
         for _ in range(iters):
-            state, loss = step(state, graph)
-        jax.block_until_ready(loss)
+            state, probe = step(state, graph)
+        float(probe)
         times.append(time.perf_counter() - t0)
     dt = min(times)
 

@@ -23,6 +23,70 @@ from graphphysics_tpu.models.layers import (
 )
 
 
+class _ScannedGraphNetStack(nn.Module):
+    """One GraphNetBlock applied as the body of an ``nn.scan`` over the
+    layer axis: params get a leading ``[L]`` dim and the compiled HLO holds
+    ONE block body instead of L unrolled copies — compile time becomes
+    O(1) in depth (``scan_blocks`` knob). Same math as the unrolled loop."""
+
+    hidden_size: int
+    ell_degree: Any = None
+    partition_axis: Any = None
+    dtype: Any = None
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, carry, senders, receivers, edge_mask, twin_perm,
+                 halo_send_idx):
+        x, edge_attr = carry
+        block_cls = nn.remat(GraphNetBlock) if self.remat else GraphNetBlock
+        x, edge_attr = block_cls(
+            hidden_size=self.hidden_size, dtype=self.dtype, name="block"
+        )(x, edge_attr, senders, receivers, edge_mask, self.ell_degree,
+          twin_perm, self.partition_axis, halo_send_idx)
+        return (x, edge_attr), None
+
+
+class _ScannedTransformerStack(nn.Module):
+    """TransformerBlock scan body (see ``_ScannedGraphNetStack``)."""
+
+    output_dim: int
+    num_heads: int
+    use_proj_bias: bool
+    use_separate_proj_weight: bool
+    ell_degree: Any = None
+    partition_axis: Any = None
+    dtype: Any = None
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, senders, receivers, edge_mask, twin_perm,
+                 halo_send_idx):
+        block_cls = nn.remat(TransformerBlock) if self.remat else TransformerBlock
+        x = block_cls(
+            output_dim=self.output_dim,
+            num_heads=self.num_heads,
+            use_proj_bias=self.use_proj_bias,
+            use_separate_proj_weight=self.use_separate_proj_weight,
+            dtype=self.dtype,
+            name="block",
+        )(x, senders, receivers, edge_mask, self.ell_degree, twin_perm,
+          self.partition_axis, halo_send_idx)
+        return x, None
+
+
+def _scan_stack(body_cls, length: int, name: str, **body_kwargs):
+    scanned = nn.scan(
+        body_cls,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        in_axes=nn.broadcast,
+        out_axes=0,
+        length=length,
+    )
+    return scanned(name=name, **body_kwargs)
+
+
 def _decoder(
     hidden_size, output_size, num_mixture_components, use_diagonal, dtype, name
 ):
@@ -57,6 +121,7 @@ class EncodeProcessDecode(nn.Module):
     temperature: Optional[float] = None
     use_diagonal: bool = True
     remat: bool = False
+    scan_blocks: bool = False  # lax.scan over layers: O(1)-in-depth compiles
     dtype: Any = None  # compute dtype (bf16 for TPU speed); params & outputs f32
 
     @property
@@ -80,21 +145,33 @@ class EncodeProcessDecode(nn.Module):
                 name="edges_encoder",
             )(edge_attr)
 
-        block_cls = nn.remat(GraphNetBlock) if self.remat else GraphNetBlock
-        for i in range(self.message_passing_num):
-            x, edge_attr = block_cls(
-                hidden_size=self.hidden_size, dtype=self.dtype, name=f"block_{i}"
-            )(
-                x,
-                edge_attr,
-                graph.senders,
-                graph.receivers,
-                graph.edge_mask,
-                graph.ell_degree,
-                graph.twin_perm,
-                graph.partition_axis,
-                graph.halo_send_idx,
-            )
+        if self.scan_blocks:
+            # NOTE: params live under blocks/block/... with a leading [L]
+            # axis — a different checkpoint layout than the unrolled loop.
+            (x, edge_attr), _ = _scan_stack(
+                _ScannedGraphNetStack, self.message_passing_num, "blocks",
+                hidden_size=self.hidden_size, ell_degree=graph.ell_degree,
+                partition_axis=graph.partition_axis, dtype=self.dtype,
+                remat=self.remat,
+            )((x, edge_attr), graph.senders, graph.receivers,
+              graph.edge_mask, graph.twin_perm, graph.halo_send_idx)
+        else:
+            block_cls = nn.remat(GraphNetBlock) if self.remat else GraphNetBlock
+            for i in range(self.message_passing_num):
+                x, edge_attr = block_cls(
+                    hidden_size=self.hidden_size, dtype=self.dtype,
+                    name=f"block_{i}",
+                )(
+                    x,
+                    edge_attr,
+                    graph.senders,
+                    graph.receivers,
+                    graph.edge_mask,
+                    graph.ell_degree,
+                    graph.twin_perm,
+                    graph.partition_axis,
+                    graph.halo_send_idx,
+                )
 
         if self.only_processor:
             return x
@@ -126,6 +203,7 @@ class EncodeTransformDecode(nn.Module):
     temperature: Optional[float] = None
     use_diagonal: bool = True
     remat: bool = False
+    scan_blocks: bool = False  # lax.scan over layers: O(1)-in-depth compiles
     dtype: Any = None  # compute dtype (bf16 for TPU speed); params & outputs f32
 
     @property
@@ -145,25 +223,39 @@ class EncodeTransformDecode(nn.Module):
                 name="nodes_encoder",
             )(x)
 
-        block_cls = nn.remat(TransformerBlock) if self.remat else TransformerBlock
-        for i in range(self.message_passing_num):
-            x = block_cls(
-                output_dim=self.hidden_size,
-                num_heads=self.num_heads,
+        if self.scan_blocks:
+            x, _ = _scan_stack(
+                _ScannedTransformerStack, self.message_passing_num, "blocks",
+                output_dim=self.hidden_size, num_heads=self.num_heads,
                 use_proj_bias=self.use_proj_bias,
                 use_separate_proj_weight=self.use_separate_proj_weight,
-                dtype=self.dtype,
-                name=f"block_{i}",
-            )(
-                x,
-                graph.senders,
-                graph.receivers,
-                graph.edge_mask,
-                graph.ell_degree,
-                graph.twin_perm,
-                graph.partition_axis,
-                graph.halo_send_idx,
+                ell_degree=graph.ell_degree,
+                partition_axis=graph.partition_axis, dtype=self.dtype,
+                remat=self.remat,
+            )(x, graph.senders, graph.receivers, graph.edge_mask,
+              graph.twin_perm, graph.halo_send_idx)
+        else:
+            block_cls = (
+                nn.remat(TransformerBlock) if self.remat else TransformerBlock
             )
+            for i in range(self.message_passing_num):
+                x = block_cls(
+                    output_dim=self.hidden_size,
+                    num_heads=self.num_heads,
+                    use_proj_bias=self.use_proj_bias,
+                    use_separate_proj_weight=self.use_separate_proj_weight,
+                    dtype=self.dtype,
+                    name=f"block_{i}",
+                )(
+                    x,
+                    graph.senders,
+                    graph.receivers,
+                    graph.edge_mask,
+                    graph.ell_degree,
+                    graph.twin_perm,
+                    graph.partition_axis,
+                    graph.halo_send_idx,
+                )
 
         if self.only_processor:
             return x

@@ -75,6 +75,8 @@ def get_model(param: Dict[str, Any], only_processor: bool = False) -> nn.Module:
     # TPU extension: rematerialize message-passing blocks to trade FLOPs for
     # HBM on very large meshes
     remat = bool(param["model"].get("remat", False))
+    # TPU extension: lax.scan over the block stack — O(1)-in-depth compiles
+    scan_blocks = bool(param["model"].get("scan_blocks", False))
 
     if model_type == "epd":
         return EncodeProcessDecode(
@@ -88,6 +90,7 @@ def get_model(param: Dict[str, Any], only_processor: bool = False) -> nn.Module:
             temperature=temperature,
             dtype=dtype,
             remat=remat,
+            scan_blocks=scan_blocks,
         )
     if model_type == "transformer":
         return EncodeTransformDecode(
@@ -101,6 +104,7 @@ def get_model(param: Dict[str, Any], only_processor: bool = False) -> nn.Module:
             temperature=temperature,
             dtype=dtype,
             remat=remat,
+            scan_blocks=scan_blocks,
         )
     raise ValueError(f"Model type '{model_type}' not supported.")
 
