@@ -44,6 +44,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--metrics_path", default="metrics.csv")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the batch across all local devices (shard_map)")
+    p.add_argument("--save_every_n_steps", type=int, default=None,
+                   help="also checkpoint mid-epoch every N steps (preemption "
+                        "safety; SIGTERM/SIGINT always checkpoint before exit)")
     p.add_argument(
         "--external_features",
         default=None,
@@ -161,6 +164,7 @@ def main(argv=None) -> int:
         metrics_path=args.metrics_path,
         seed=args.seed,
         extra_logger=extra_logger,
+        save_every_n_steps=args.save_every_n_steps,
         **prev_kwargs,
     )
     trainer.fit(

@@ -45,11 +45,18 @@ class GraphLoader:
             raise ValueError(f"unknown collate {collate!r}")
         self.collate = collate
         self._epoch = 0
+        self._start_batch = 0
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(epoch)
+
+    def set_start_batch(self, batch: int) -> None:
+        """Skip the first ``batch`` batches of the NEXT iteration only — used
+        for exact mid-epoch resume after preemption (items are deterministic
+        per (seed, epoch, index), so the stream continues bit-identically)."""
+        self._start_batch = int(batch)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -80,10 +87,11 @@ class GraphLoader:
     def _batches(self, pool=None) -> Iterator[Graph]:
         order = self._order()
         n = len(self)
+        start, self._start_batch = self._start_batch, 0  # one-shot
         if self.num_workers > 0:
-            yield from self._batches_multiprocess(order, n, pool)
+            yield from self._batches_multiprocess(order, n, pool, start)
             return
-        for b in range(n):
+        for b in range(start, n):
             chunk = order[b * self.batch_size : (b + 1) * self.batch_size]
             if len(chunk) == 0:
                 return
@@ -121,7 +129,7 @@ class GraphLoader:
             initargs=(self.dataset,),
         )
 
-    def _batches_multiprocess(self, order, n, pool) -> Iterator[Graph]:
+    def _batches_multiprocess(self, order, n, pool, start=0) -> Iterator[Graph]:
         """Worker PROCESSES build items in parallel (the role of the
         reference's DataLoader workers, train.py:133-161 — including for h5,
         which the reference forces to 0 workers; our H5Dataset reopens its
@@ -137,9 +145,9 @@ class GraphLoader:
                     pool.submit(_worker_get, int(i)) for i in chunk
                 ]
 
-            for b in range(min(window, n)):
+            for b in range(start, min(start + window, n)):
                 submit(b)
-            for b in range(n):
+            for b in range(start, n):
                 graphs = [f.result() for f in pending.pop(b)]
                 if b + window < n:
                     submit(b + window)

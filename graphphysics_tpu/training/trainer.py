@@ -56,6 +56,7 @@ class Trainer:
         plot_callback=None,
         data_parallel: bool = False,
         num_devices: Optional[int] = None,
+        save_every_n_steps: Optional[int] = None,
     ):
         self.param = parameters
         self.learning_rate = learning_rate
@@ -75,7 +76,11 @@ class Trainer:
         self.plot_callback = plot_callback
         self.data_parallel = data_parallel
         self.num_devices = num_devices
+        self.save_every_n_steps = save_every_n_steps
         self.mesh = None
+        # preemption handling (reference has none, SURVEY.md §5): a SIGTERM/
+        # SIGINT during fit() requests a checkpoint at the next step boundary
+        self._interrupt_requested = False
 
         self.sim = get_simulator(parameters)
         self.K = self.sim.model.K
@@ -205,51 +210,114 @@ class Trainer:
     ) -> Dict[str, Any]:
         num_steps = self.num_steps or num_epochs * len(train_loader)
         start_epoch = 0
+        resume_offset = 0  # batches already consumed in start_epoch
 
         if self.state is None:
             self.init_state(train_loader.peek(), num_steps)
 
         if resume_from and os.path.exists(resume_from):
             self.state = load_checkpoint(resume_from, self.state)
-            start_epoch = int(load_metadata(resume_from).get("epoch", 0))
-            print(f"[trainer] resumed from {resume_from} at epoch {start_epoch}")
-
-        history = {"train_loss": [], "val_rmse": []}
-        for epoch in range(start_epoch, num_epochs):
-            train_loader.set_epoch(epoch)
-            t0, nsteps = time.time(), 0
-            loss_acc = None  # device-side accumulation: no per-step host sync
-            step0 = int(self.state["step"])
-            for batch in train_loader:
-                gb = self._put_batch(batch)
-                self.state, loss = self._train_step(self.state, gb)
-                nsteps += 1
-                loss_acc = loss if loss_acc is None else loss_acc + loss
-                step = step0 + nsteps  # host-side counter, no device fetch
-                if step % self.log_every == 0:
-                    lr = float(self.schedule(step))
-                    self._log(epoch, step, {"train_loss": float(loss), "lr": lr})
-            dt = time.time() - t0
-            train_loss = float(loss_acc) / max(nsteps, 1) if nsteps else 0.0
-            history["train_loss"].append(train_loss)
-            msg = (
-                f"[trainer] epoch {epoch}: train_loss={train_loss:.5f} "
-                f"({nsteps} steps, {nsteps / max(dt, 1e-9):.2f} it/s)"
+            meta = load_metadata(resume_from)
+            start_epoch = int(meta.get("epoch", 0))
+            resume_offset = int(meta.get("batch_offset", 0))
+            print(
+                f"[trainer] resumed from {resume_from} at epoch {start_epoch}"
+                + (f" batch {resume_offset}" if resume_offset else "")
             )
 
-            if val_dataset is not None:
-                val_rmse = self.validate(val_dataset, epoch, val_trajectories)
-                history["val_rmse"].append(val_rmse)
-                msg += f" val_all_rollout_rmse={val_rmse:.5f}"
-                self._log(
-                    epoch,
-                    int(self.state["step"]),
-                    {"train_loss_epoch": train_loss, "val_all_rollout_rmse": val_rmse},
+        prev_handlers = self._install_signal_handlers()
+        history = {"train_loss": [], "val_rmse": [], "interrupted": False}
+        try:
+            for epoch in range(start_epoch, num_epochs):
+                train_loader.set_epoch(epoch)
+                offset = resume_offset if epoch == start_epoch else 0
+                if offset:
+                    # the loader's per-(seed, epoch, index) determinism makes
+                    # the resumed stream bit-identical to the uninterrupted one
+                    train_loader.set_start_batch(offset)
+                t0, nsteps = time.time(), 0
+                loss_acc = None  # device-side accumulation: no per-step host sync
+                step0 = int(self.state["step"])
+                for batch in train_loader:
+                    gb = self._put_batch(batch)
+                    self.state, loss = self._train_step(self.state, gb)
+                    nsteps += 1
+                    loss_acc = loss if loss_acc is None else loss_acc + loss
+                    step = step0 + nsteps  # host-side counter, no device fetch
+                    if step % self.log_every == 0:
+                        lr = float(self.schedule(step))
+                        self._log(epoch, step, {"train_loss": float(loss), "lr": lr})
+                    if self._interrupt_requested or (
+                        self.save_every_n_steps
+                        and step % self.save_every_n_steps == 0
+                    ):
+                        self.save(epoch, batch_offset=offset + nsteps)
+                    if self._interrupt_requested:
+                        print(
+                            f"[trainer] interrupted at epoch {epoch} "
+                            f"batch {offset + nsteps}; checkpoint saved — "
+                            f"resume with the same data order via "
+                            f"--resume_training"
+                        )
+                        history["interrupted"] = True
+                        return history
+                dt = time.time() - t0
+                train_loss = float(loss_acc) / max(nsteps, 1) if nsteps else 0.0
+                history["train_loss"].append(train_loss)
+                msg = (
+                    f"[trainer] epoch {epoch}: train_loss={train_loss:.5f} "
+                    f"({nsteps} steps, {nsteps / max(dt, 1e-9):.2f} it/s)"
                 )
-            print(msg)
 
-            self.save(epoch)
-        return history
+                if val_dataset is not None:
+                    val_rmse = self.validate(val_dataset, epoch, val_trajectories)
+                    history["val_rmse"].append(val_rmse)
+                    msg += f" val_all_rollout_rmse={val_rmse:.5f}"
+                    self._log(
+                        epoch,
+                        int(self.state["step"]),
+                        {
+                            "train_loss_epoch": train_loss,
+                            "val_all_rollout_rmse": val_rmse,
+                        },
+                    )
+                print(msg)
+
+                self.save(epoch)
+            return history
+        finally:
+            self._restore_signal_handlers(prev_handlers)
+
+    def request_interrupt(self) -> None:
+        """Ask fit() to checkpoint and stop at the next step boundary (what
+        the SIGTERM/SIGINT handlers call; also usable programmatically)."""
+        self._interrupt_requested = True
+
+    def _install_signal_handlers(self):
+        import signal
+
+        prev = {}
+
+        def _handler(signum, frame):
+            self.request_interrupt()
+            print(f"[trainer] caught signal {signum}: will checkpoint and stop")
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev[sig] = signal.signal(sig, _handler)
+            except ValueError:  # not in the main thread — skip
+                pass
+        return prev
+
+    def _restore_signal_handlers(self, prev):
+        import signal
+
+        self._interrupt_requested = False
+        for sig, handler in prev.items():
+            try:
+                signal.signal(sig, handler)
+            except ValueError:
+                pass
 
     # ----------------------------------------------------------- validation
 
@@ -379,17 +447,19 @@ class Trainer:
 
     # ---------------------------------------------------------------- misc
 
-    def save(self, epoch: int):
+    def save(self, epoch: int, batch_offset: Optional[int] = None):
+        """End-of-epoch save (``batch_offset=None``: resume at epoch+1), or a
+        mid-epoch preemption save (resume at this epoch, skipping the first
+        ``batch_offset`` batches of its deterministic stream)."""
         path = os.path.join(self.checkpoint_dir, self.checkpoint_name)
-        save_checkpoint(
-            path,
-            self.state,
-            metadata={
-                "epoch": epoch + 1,
-                "step": int(self.state["step"]),
-                "wandb_run_id": getattr(self.extra_logger, "run_id", None),
-            },
-        )
+        metadata = {
+            "epoch": epoch + 1 if batch_offset is None else epoch,
+            "step": int(self.state["step"]),
+            "wandb_run_id": getattr(self.extra_logger, "run_id", None),
+        }
+        if batch_offset is not None:
+            metadata["batch_offset"] = int(batch_offset)
+        save_checkpoint(path, self.state, metadata=metadata)
 
     def _log(self, epoch: int, step: int, metrics: Dict[str, float]):
         if self.metrics is not None:

@@ -199,6 +199,91 @@ def test_fit_data_parallel_on_mesh(cylinder_env):
     assert all(np.isfinite(v) for v in history["val_rmse"])
 
 
+class _SignalAfter:
+    """Loader wrapper: raises SIGTERM in-process just before yielding batch
+    ``after-1`` — the trainer consumes that batch, then its signal handler
+    requests a checkpoint-and-stop (simulated preemption)."""
+
+    def __init__(self, loader, after):
+        self.loader, self.after = loader, after
+
+    def __len__(self):
+        return len(self.loader)
+
+    def peek(self):
+        return self.loader.peek()
+
+    def set_epoch(self, epoch):
+        self.loader.set_epoch(epoch)
+
+    def set_start_batch(self, b):
+        self.loader.set_start_batch(b)
+
+    def __iter__(self):
+        import signal
+
+        for i, item in enumerate(self.loader):
+            if i == self.after - 1:
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield item
+
+
+def test_preemption_mid_epoch_resume_exact(cylinder_env, tmp_path):
+    """SIGTERM mid-epoch checkpoints; resuming continues the deterministic
+    batch stream so the final state is bit-identical to an uninterrupted run."""
+    from graphphysics_tpu.training.checkpoint import load_metadata
+
+    tmp, param = cylinder_env
+
+    # reference run: 2 uninterrupted epochs
+    trainer_a, loader_a, _ = _make(param, tmp_path / "a")
+    trainer_a.fit(loader_a, num_epochs=2)
+    params_a = jax_leaves(trainer_a.state["params"])
+
+    # preempted run: SIGTERM lands during epoch 0 after 2 batches
+    trainer_b, loader_b, _ = _make(param, tmp_path / "b")
+    history = trainer_b.fit(_SignalAfter(loader_b, after=2), num_epochs=2)
+    assert history["interrupted"]
+    ckpt = str(tmp_path / "b" / "ckpt" / "state.msgpack")
+    meta = load_metadata(ckpt)
+    assert meta["epoch"] == 0 and meta["batch_offset"] == 2
+
+    # resume: picks up at epoch 0 batch 2, finishes both epochs
+    trainer_c, loader_c, _ = _make(param, tmp_path / "b")
+    history_c = trainer_c.fit(loader_c, num_epochs=2, resume_from=ckpt)
+    assert not history_c["interrupted"]
+    assert int(trainer_c.state["step"]) == int(trainer_a.state["step"])
+    for pa, pc in zip(params_a, jax_leaves(trainer_c.state["params"])):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pc))
+
+
+def test_save_every_n_steps_writes_mid_epoch_metadata(cylinder_env, tmp_path):
+    tmp, param = cylinder_env
+    from graphphysics_tpu.training.checkpoint import load_metadata
+
+    trainer, loader, _ = _make(param, tmp_path / "p")
+    trainer.save_every_n_steps = 1
+    seen = []
+    orig = trainer.save
+
+    def spy(epoch, batch_offset=None):
+        orig(epoch, batch_offset=batch_offset)
+        seen.append((epoch, batch_offset))
+
+    trainer.save = spy
+    trainer.fit(loader, num_epochs=1)
+    # every step saved with its batch offset, then the end-of-epoch save
+    assert seen[:-1] == [(0, k + 1) for k in range(len(loader))]
+    assert seen[-1] == (0, None)
+    assert load_metadata(str(tmp_path / "p" / "ckpt" / "state.msgpack"))["epoch"] == 1
+
+
+def jax_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
+
+
 def test_fit_gmm_head(cylinder_env):
     """Training with a diagonal GMM head: NLL loss path + sampled rollout."""
     tmp, param = cylinder_env
