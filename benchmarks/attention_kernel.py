@@ -1,0 +1,70 @@
+"""Real-TPU parity + microbench: Pallas fused softmax+SpMM attention
+(``ops.pallas_attention``) vs the XLA edge-list path (``ops.attention``).
+
+Run: PYTHONPATH="/root/.axon_site:/root/repo" python benchmarks/attention_kernel.py
+
+Measured 2026-08-18 (tunnel chip, heavily throttled window — ratios are the
+meaningful numbers): aneurysm-scale 66k nodes / 524k edges h4dh16 the Pallas
+kernel runs 0.71x of XLA's time (1.41x faster); panels-scale ~parity (1.04x);
+cylinder-scale 1.41x SLOWER (grid/launch overhead dominates small graphs).
+The kernel wins exactly where scatter dominates — large 3D meshes.
+Max |pallas - xla| = 3.3e-6.
+"""
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graphphysics_tpu.ops.attention import sparse_graph_attention
+from graphphysics_tpu.ops.pallas_attention import (
+    compute_block_offsets, compute_max_chunks, csr_sparse_attention,
+)
+
+print("devices:", jax.devices())
+
+def run_case(n, e, h, dh, label):
+    r = np.random.default_rng(0)
+    senders = np.sort(r.integers(0, n, e)).astype(np.int32)
+    receivers = r.integers(0, n, e).astype(np.int32)
+    mask = r.random(e) > 0.05
+    offsets = compute_block_offsets(senders, n)
+    mc = compute_max_chunks(offsets)
+    q = jnp.asarray(r.normal(size=(n, h, dh)).astype(np.float32))
+    k = jnp.asarray(r.normal(size=(n, h, dh)).astype(np.float32))
+    v = jnp.asarray(r.normal(size=(n, h, dh)).astype(np.float32))
+    sj, rj, oj, mj = map(jnp.asarray, (senders, receivers, offsets, mask))
+    scale = h ** -0.5
+
+    pallas_fn = jax.jit(lambda q: csr_sparse_attention(
+        q, k, v, sj, rj, oj, edge_mask=mj, scale=scale, max_chunks=mc))
+    xla_fn = jax.jit(lambda q: sparse_graph_attention(
+        q, k, v, sj, rj, num_nodes=n, edge_mask=mj, scale=scale))
+
+    out_p = pallas_fn(q); out_x = xla_fn(q)
+    # fetch-synced compare
+    op, ox = np.asarray(out_p), np.asarray(out_x)
+    err = np.abs(op - ox).max()
+    print(f"{label}: max abs err pallas-vs-xla = {err:.2e}")
+
+    def chain(fn, iters=50):
+        x = q
+        # warmup incl. compile
+        for _ in range(3):
+            x = q + 0.0 * fn(x)
+        float(jnp.sum(x))  # sync by fetch
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            x = q + 0.0 * fn(x)
+        probe = float(jnp.sum(x))
+        dt = (time.perf_counter() - t0) / iters
+        return dt, probe
+
+    tp, _ = chain(pallas_fn)
+    tx, _ = chain(xla_fn)
+    print(f"{label}: pallas {tp*1e3:.3f} ms  xla {tx*1e3:.3f} ms  "
+          f"(pallas/xla = {tp/tx:.2f}x)  edges/s pallas {e/tp/1e6:.1f}M "
+          f"xla {e/tx/1e6:.1f}M")
+
+run_case(66000, 524288, 4, 16, "aneurysm-ish 66k/524k h4dh16")
+run_case(16384, 98304, 4, 32, "panels-ish 16k/98k h4dh32")
+run_case(2048, 12288, 4, 16, "cylinder-ish 2k/12k h4dh16")

@@ -1,0 +1,378 @@
+"""Pallas TPU kernel: fused sparse-attention segment-softmax + SpMM.
+
+First-party replacement for the scatter-bound half of the reference's DGL
+sparse attention trio — sparse row softmax (``graphphysics/models/layers.py
+:414-419``) and SpMM (``dglsp.bspmm``, ``:449-452``). The SDDMM half (per-edge
+scores) deliberately stays in XLA: it is two gathers feeding an elementwise
+reduce, which XLA fuses into the q/k/v projection matmuls; re-expressing the
+gathers in-kernel would burn the same MXU cycles as the one-hot trick below
+without removing any HBM traffic.
+
+Layout: the same segment-sorted CSR edge list as ``ops.pallas_segment`` —
+the host sorts edges by the softmax segment key once per topology and
+provides per-node-block edge offsets (``compute_block_offsets``). Per-edge
+data is packed into ONE ``[E_pad, C]`` array (``[values | scores | segment]``,
+C rounded up to the 128-lane tile) so each chunk is a single tiling-aligned
+DMA; Mosaic's HBM slicing rejects narrow (H-wide) column slices.
+
+Algorithm: flash-attention-style ONLINE softmax over the chunks — running
+per-row max ``m`` and normalizer ``l`` (kept head-major ``[H, BN]``), with
+every reduction expressed as a ``dot_general`` against the chunk's one-hot
+ownership matrix on the MXU; the ``[E, H]`` attention-weight matrix is never
+materialized in HBM, and each output row belongs to exactly one program so
+there are no write conflicts. Only Mosaic-friendly ops are used: static
+value slices, broadcasts, sublane concats, iota, and matmuls — no reshapes
+or transposes.
+
+The public entry ``csr_softmax_spmm`` carries a custom VJP whose backward
+recomputes the attention weights with the XLA segment ops (``ops.segment``)
+— exact same math, so the kernel is usable inside the train step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from graphphysics_tpu.ops.pallas_segment import (
+    compute_block_offsets,  # noqa: F401  (re-exported: same CSR layout)
+    compute_max_chunks,  # noqa: F401
+)
+
+# Defaults tuned for H=4..8 heads, D=H*Dh=64..512, f32.
+BLOCK_NODES = 256  # segment rows per program
+BLOCK_EDGES = 512  # edges DMA'd + reduced per chunk
+
+_NEG = -1e30  # finite -inf stand-in (inf - inf would NaN in the online max)
+
+
+def _dot(a, b, dims):
+    """f32 dot_general at HIGHEST precision — the one-hot/expansion reductions
+    must be exact (default MXU precision truncates to bf16, breaking parity
+    with the XLA path)."""
+    return jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _kernel(
+    offsets_ref,  # scalar prefetch: [num_blocks + 1] int32
+    packed_ref,  # HBM: [E_pad, C] f32 = [values(D) | scores(H) | seg(1) | pad]
+    out_ref,  # VMEM: [BN, D] f32
+    packed_scratch,  # VMEM: [2, BE, C]
+    m_ref,  # VMEM: [H, BN] running max (head-major)
+    l_ref,  # VMEM: [H, BN] running sum of exp
+    sems,  # DMA semaphores (2,)
+    *,
+    block_nodes: int,
+    block_edges: int,
+    max_chunks: int,
+    num_heads: int,
+    head_dim: int,
+):
+    b = pl.program_id(0)
+    row0 = b * block_nodes
+    e_start = offsets_ref[b]
+    e_end = offsets_ref[b + 1]
+    # BE-aligned absolute windows covering [e_start, e_end) — DMA offsets stay
+    # tiling-aligned; edges of neighboring blocks inside a straddling window
+    # are dropped by the one-hot row compare (their segment falls outside
+    # [row0, row0 + BN)), as are masked/padded edges (segment == num_nodes).
+    c0 = e_start // block_edges
+    d = num_heads * head_dim
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+    m_ref[:] = jnp.full_like(m_ref, _NEG)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+    # [H, D] 0/1 head-expansion matrix: column c belongs to head c // Dh.
+    # Per-head quantities expand to head-blocked D columns as exact matmuls.
+    head_of_col = (
+        jax.lax.broadcasted_iota(jnp.int32, (num_heads, d), 1) // head_dim
+    )
+    head_row = jax.lax.broadcasted_iota(jnp.int32, (num_heads, d), 0)
+    expand = (head_row == head_of_col).astype(jnp.float32)  # [H, D]
+
+    def start_chunk(i, slot):
+        c = c0 + i
+
+        @pl.when(c * block_edges < e_end)
+        def _():
+            off = pl.multiple_of(c * block_edges, block_edges)
+            pltpu.make_async_copy(
+                packed_ref.at[pl.ds(off, block_edges), :],
+                packed_scratch.at[slot],
+                sems.at[slot],
+            ).start()
+
+    start_chunk(0, 0)
+
+    def body(i, _):
+        c = c0 + i
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(c * block_edges < e_end)
+        def _():
+            # overlap: kick off the next chunk's DMA before reducing this one
+            start_chunk(i + 1, 1 - slot)
+            off = pl.multiple_of(c * block_edges, block_edges)
+            pltpu.make_async_copy(
+                packed_ref.at[pl.ds(off, block_edges), :],
+                packed_scratch.at[slot],
+                sems.at[slot],
+            ).wait()
+
+            block = packed_scratch[slot]  # [BE, C]
+            values_c = block[:, :d]  # [BE, D]
+            scores_c = block[:, d : d + num_heads]  # [BE, H]
+            seg_col = block[:, d + num_heads : d + num_heads + 1].astype(
+                jnp.int32
+            )  # [BE, 1] (exact for node counts < 2^24)
+
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (block_edges, block_nodes), 1
+            ) + row0
+            owned = cols == seg_col  # [BE, BN] bool
+            onehot_t = owned.astype(jnp.float32)  # [BE, BN]
+
+            # chunk max per row, head-major (H is small and static)
+            m_rows = []
+            for hh in range(num_heads):
+                sc = scores_c[:, hh : hh + 1]  # [BE, 1]
+                m_rows.append(
+                    jnp.max(
+                        jnp.where(owned, sc, _NEG), axis=0, keepdims=True
+                    )  # [1, BN]
+                )
+            m_c = jnp.concatenate(m_rows, axis=0)  # [H, BN]
+            m_old = m_ref[:]
+            m_new = jnp.maximum(m_old, m_c)
+            alpha = jnp.exp(m_old - m_new)  # [H, BN], <= 1
+
+            # per-edge running max: gather by one-hot matmul (contract BN)
+            m_e = _dot(onehot_t, m_new, (((1,), (1,))))  # [BE, H]
+            in_block = jnp.logical_and(
+                seg_col >= row0, seg_col < row0 + block_nodes
+            )  # [BE, 1]
+            # exponent <= 0 for in-block edges (m_e >= own score); out-of-block
+            # edges are zeroed BEFORE the matmuls (0 * inf would NaN on the MXU)
+            p = jnp.where(in_block, jnp.exp(scores_c - m_e), 0.0)  # [BE, H]
+
+            l_ref[:] = l_ref[:] * alpha + _dot(
+                p, onehot_t, (((0,), (0,)))
+            )  # [H, BN]
+            p_exp = _dot(p, expand, (((1,), (0,))))  # [BE, D]
+            alpha_exp = _dot(alpha, expand, (((0,), (0,))))  # [BN, D]
+            out_ref[:] = out_ref[:] * alpha_exp + _dot(
+                onehot_t, values_c * p_exp, (((0,), (0,)))
+            )
+            m_ref[:] = m_new
+
+        return 0
+
+    jax.lax.fori_loop(0, max_chunks, body, 0)
+
+    # same epsilon as ops.segment.segment_softmax: empty rows -> exact 0
+    l_exp = _dot(l_ref[:], expand, (((0,), (0,))))  # [BN, D]
+    out_ref[:] = out_ref[:] / (l_exp + 1e-16)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_nodes", "num_heads", "block_nodes", "block_edges", "max_chunks",
+    ),
+)
+def _softmax_spmm_impl(
+    scores: jax.Array,
+    values: jax.Array,
+    segments: jax.Array,
+    offsets: jax.Array,
+    num_nodes: int,
+    num_heads: int,
+    block_nodes: int,
+    block_edges: int,
+    max_chunks: int,
+) -> jax.Array:
+    e, h = scores.shape
+    d = values.shape[1]
+    assert d % h == 0
+    head_dim = d // h
+    num_blocks = -(-num_nodes // block_nodes)
+    e_pad = (-(-(e + 1) // block_edges)) * block_edges
+    c_width = -(-(d + h + 1) // 128) * 128  # lane-tile aligned packed width
+
+    # pack [values | scores | seg] into one aligned-DMA array; the padding
+    # rows carry score -inf and segment num_nodes (dropped by the kernel)
+    packed = jnp.zeros((e_pad, c_width), jnp.float32)
+    packed = packed.at[:e, :d].set(values.astype(jnp.float32))
+    packed = packed.at[:e, d : d + h].set(scores.astype(jnp.float32))
+    packed = packed.at[e:, d : d + h].set(_NEG)
+    packed = packed.at[:, d + h].set(float(num_nodes))
+    packed = packed.at[:e, d + h].set(segments.astype(jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (block_nodes, d), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_edges, c_width), jnp.float32),
+            pltpu.VMEM((num_heads, block_nodes), jnp.float32),
+            pltpu.VMEM((num_heads, block_nodes), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel,
+        block_nodes=block_nodes,
+        block_edges=block_edges,
+        max_chunks=max_chunks,
+        num_heads=num_heads,
+        head_dim=head_dim,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_blocks * block_nodes, d), jnp.float32),
+    )(offsets, packed)
+    return out[:num_nodes].astype(values.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def csr_softmax_spmm(
+    scores: jax.Array,
+    values: jax.Array,
+    segments: jax.Array,
+    offsets: jax.Array,
+    num_nodes: int,
+    block_nodes: int = BLOCK_NODES,
+    block_edges: int = BLOCK_EDGES,
+    max_chunks: Optional[int] = None,
+) -> jax.Array:
+    """Fused segment-softmax + weighted segment-sum (one Pallas kernel).
+
+    Args:
+        scores: ``[E, H]`` per-edge per-head attention scores. Masked edges
+            must carry ``-1e30`` (and segment ``num_nodes``; see wrapper).
+        values: ``[E, D]`` per-edge values, D = H * head_dim head-blocked.
+        segments: ``[E]`` int32 softmax segment per edge, ASCENDING
+            (host-sorted once per topology); masked/padded edges may carry
+            ``num_nodes`` in place.
+        offsets: ``compute_block_offsets(segments, num_nodes, block_nodes)``.
+
+    Returns:
+        ``[num_nodes, D]``: ``sum_e softmax(scores)[e] * values[e]`` per
+        segment — ``segment_softmax`` + ``masked_segment_sum`` of
+        ``ops.segment`` in one pass, no ``[E, H]`` weights in HBM.
+    """
+    h = scores.shape[1]
+    if max_chunks is None:
+        max_chunks = -(-scores.shape[0] // block_edges) + 1
+    return _softmax_spmm_impl(
+        scores, values, segments, offsets,
+        num_nodes, h, block_nodes, block_edges, max_chunks,
+    )
+
+
+def _xla_attn_weights(scores, segments, num_nodes):
+    """Attention weights via the XLA segment ops — same math as the kernel.
+
+    ``segments`` may contain ``num_nodes`` for masked edges, so reductions run
+    with one extra segment row that is then discarded.
+    """
+    seg_max = jax.ops.segment_max(scores, segments, num_segments=num_nodes + 1)
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    ex = jnp.exp(scores - seg_max[segments])
+    denom = jax.ops.segment_sum(ex, segments, num_segments=num_nodes + 1)
+    return ex / (denom[segments] + 1e-16)
+
+
+def _fwd(scores, values, segments, offsets, num_nodes, bn, be, mc):
+    out = csr_softmax_spmm(
+        scores, values, segments, offsets, num_nodes, bn, be, mc
+    )
+    return out, (scores, values, segments)
+
+
+def _bwd(num_nodes, bn, be, mc, res, g):
+    scores, values, segments = res
+    e, h = scores.shape
+    d = values.shape[1]
+    dh = d // h
+    attn = _xla_attn_weights(
+        scores.astype(jnp.float32), segments, num_nodes
+    )  # [E, H]
+    g_pad = jnp.concatenate(
+        [g.astype(jnp.float32), jnp.zeros((1, d), jnp.float32)], axis=0
+    )
+    g_e = jnp.take(g_pad, jnp.minimum(segments, num_nodes), axis=0)  # [E, D]
+    attn_exp = jnp.repeat(attn, dh, axis=1)  # [E, D] head-blocked
+    dvalues = (attn_exp * g_e).astype(values.dtype)
+    # softmax VJP: ds = attn * (dattn - sum_seg(attn * dattn))
+    dattn = (values.astype(jnp.float32) * g_e).reshape(e, h, dh).sum(-1)  # [E, H]
+    inner = jax.ops.segment_sum(
+        attn * dattn, segments, num_segments=num_nodes + 1
+    )
+    dscores = (attn * (dattn - inner[segments])).astype(scores.dtype)
+    return dscores, dvalues, None, None
+
+
+csr_softmax_spmm.defvjp(_fwd, _bwd)
+
+
+def csr_sparse_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    segments: jax.Array,
+    gather_idx: jax.Array,
+    offsets: jax.Array,
+    edge_mask: Optional[jax.Array] = None,
+    scale: float = 1.0,
+    block_nodes: int = BLOCK_NODES,
+    block_edges: int = BLOCK_EDGES,
+    max_chunks: Optional[int] = None,
+) -> jax.Array:
+    """Sparse graph attention with the fused Pallas softmax+SpMM kernel.
+
+    Drop-in for ``ops.attention.sparse_graph_attention`` on a CSR-sorted edge
+    list: ``segments`` (ascending) is the query/softmax side and
+    ``gather_idx`` the key/value side. With edges sorted by sender this is
+    exactly the reference COO convention (queries at ``senders``, k/v at
+    ``receivers``, ``layers.py:414-452``); with edges sorted by receiver it
+    is the transpose — equal on the symmetric mesh adjacency (the same
+    convention note as the ELL path, ``ops.attention``).
+
+    SDDMM (scores) and the q/k/v gathers run in XLA where they fuse with the
+    projections; softmax+SpMM run in the kernel.
+    """
+    n, h, dh = q.shape
+    d = h * dh
+    q2 = q.reshape(n, d)
+    kv2 = jnp.concatenate([k.reshape(n, d), v.reshape(n, d)], axis=1)
+    q_e = jnp.take(q2, segments, axis=0)
+    kv_e = jnp.take(kv2, gather_idx, axis=0)
+    k_e, v_e = kv_e[:, :d], kv_e[:, d:]
+    e = q_e.shape[0]
+    prod = q_e.astype(jnp.float32) * k_e.astype(jnp.float32)
+    scores = prod.reshape(e, h, dh).sum(axis=-1) * jnp.float32(scale)
+    seg = segments.astype(jnp.int32)
+    if edge_mask is not None:
+        scores = jnp.where(edge_mask[:, None], scores, _NEG)
+        seg = jnp.where(edge_mask, seg, n)
+    out = csr_softmax_spmm(
+        scores, v_e, seg, offsets, n, block_nodes, block_edges, max_chunks
+    )
+    return out.reshape(n, h, dh).astype(q.dtype)

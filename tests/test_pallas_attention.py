@@ -1,0 +1,131 @@
+"""Pallas fused softmax+SpMM attention kernel: interpret-mode correctness on
+CPU vs the XLA path (``ops.attention.sparse_graph_attention``).
+(Real-TPU parity + perf measured in bench/verification runs.)"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from graphphysics_tpu.ops.attention import sparse_graph_attention
+from graphphysics_tpu.ops.pallas_attention import (
+    compute_block_offsets,
+    compute_max_chunks,
+    csr_softmax_spmm,
+    csr_sparse_attention,
+)
+from graphphysics_tpu.ops.segment import masked_segment_sum, segment_softmax
+
+
+def _graph(n, e, seed=0, mask_frac=0.0):
+    r = np.random.default_rng(seed)
+    senders = np.sort(r.integers(0, n, e)).astype(np.int32)  # sorted segments
+    receivers = r.integers(0, n, e).astype(np.int32)
+    mask = None
+    if mask_frac > 0:
+        mask = r.random(e) > mask_frac
+    offsets = compute_block_offsets(senders, n)
+    mc = compute_max_chunks(offsets)
+    return senders, receivers, mask, offsets, mc
+
+
+@pytest.mark.parametrize("n,e,h,dh", [(600, 3000, 4, 16), (1024, 4096, 8, 16)])
+def test_softmax_spmm_matches_xla(n, e, h, dh):
+    r = np.random.default_rng(3)
+    seg = np.sort(r.integers(0, n, e)).astype(np.int32)
+    scores = r.normal(size=(e, h)).astype(np.float32)
+    values = r.normal(size=(e, h * dh)).astype(np.float32)
+    offsets = compute_block_offsets(seg, n)
+    mc = compute_max_chunks(offsets)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = csr_softmax_spmm(
+            jnp.asarray(scores), jnp.asarray(values), jnp.asarray(seg),
+            jnp.asarray(offsets), n, max_chunks=mc,
+        )
+    attn = segment_softmax(jnp.asarray(scores), jnp.asarray(seg), n)
+    attn_exp = jnp.repeat(attn, dh, axis=1)  # head-blocked expansion
+    expected = masked_segment_sum(jnp.asarray(values) * attn_exp,
+                                  jnp.asarray(seg), n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_attention_matches_xla_path_with_mask():
+    n, e, h, dh = 500, 2400, 4, 8
+    senders, receivers, mask, offsets, mc = _graph(n, e, seed=1, mask_frac=0.2)
+    r = np.random.default_rng(5)
+    q = r.normal(size=(n, h, dh)).astype(np.float32)
+    k = r.normal(size=(n, h, dh)).astype(np.float32)
+    v = r.normal(size=(n, h, dh)).astype(np.float32)
+    scale = h ** -0.5
+
+    with pltpu.force_tpu_interpret_mode():
+        out = csr_sparse_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(senders), jnp.asarray(receivers), jnp.asarray(offsets),
+            edge_mask=jnp.asarray(mask), scale=scale, max_chunks=mc,
+        )
+    # the XLA reference path uses the same (segments=senders, kv at
+    # receivers) COO convention
+    expected = sparse_graph_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(senders), jnp.asarray(receivers), num_nodes=n,
+        edge_mask=jnp.asarray(mask), scale=scale,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_empty_segments_and_skew():
+    # nodes with no edges must produce exact-zero rows; skewed degree
+    # exercises multi-chunk blocks
+    n, e, h, dh = 1024, 4096, 4, 16
+    r = np.random.default_rng(7)
+    seg = np.sort(r.integers(0, 8, e)).astype(np.int32)
+    scores = r.normal(size=(e, h)).astype(np.float32)
+    values = r.normal(size=(e, h * dh)).astype(np.float32)
+    offsets = compute_block_offsets(seg, n)
+    mc = compute_max_chunks(offsets)
+    with pltpu.force_tpu_interpret_mode():
+        out = csr_softmax_spmm(
+            jnp.asarray(scores), jnp.asarray(values), jnp.asarray(seg),
+            jnp.asarray(offsets), n, max_chunks=mc,
+        )
+    assert np.all(np.asarray(out)[8:] == 0.0)
+    attn = segment_softmax(jnp.asarray(scores), jnp.asarray(seg), n)
+    expected = masked_segment_sum(
+        jnp.asarray(values) * jnp.repeat(attn, dh, axis=1), jnp.asarray(seg), n
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_match_xla_path():
+    n, e, h, dh = 300, 1200, 4, 8
+    senders, receivers, mask, offsets, mc = _graph(n, e, seed=9, mask_frac=0.15)
+    r = np.random.default_rng(11)
+    q = jnp.asarray(r.normal(size=(n, h, dh)).astype(np.float32))
+    k = jnp.asarray(r.normal(size=(n, h, dh)).astype(np.float32))
+    v = jnp.asarray(r.normal(size=(n, h, dh)).astype(np.float32))
+    sj, rj, oj = jnp.asarray(senders), jnp.asarray(receivers), jnp.asarray(offsets)
+    mj = jnp.asarray(mask)
+    scale = h ** -0.5
+
+    def loss_pallas(q, k, v):
+        out = csr_sparse_attention(q, k, v, sj, rj, oj, edge_mask=mj,
+                                   scale=scale, max_chunks=mc)
+        return (out ** 2).sum()
+
+    def loss_xla(q, k, v):
+        out = sparse_graph_attention(q, k, v, sj, rj, num_nodes=n,
+                                     edge_mask=mj, scale=scale)
+        return (out ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gx, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
