@@ -114,6 +114,9 @@ def main(argv=None) -> int:
     if train_ds.ell_degree or val_ds.ell_degree:
         d = max(train_ds.ell_degree or 0, val_ds.ell_degree or 0)
         train_ds.ell_degree = val_ds.ell_degree = d
+    if train_ds.csr_max_chunks or val_ds.csr_max_chunks:
+        mc = max(train_ds.csr_max_chunks or 0, val_ds.csr_max_chunks or 0)
+        train_ds.csr_max_chunks = val_ds.csr_max_chunks = mc
     loader = GraphLoader(
         train_ds,
         batch_size=args.batch_size,

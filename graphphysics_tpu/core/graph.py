@@ -17,7 +17,7 @@ import jax
 import numpy as np
 
 
-_META_FIELDS = ("ell_degree", "partition_axis")
+_META_FIELDS = ("ell_degree", "partition_axis", "csr_max_chunks")
 
 
 def _dc(cls):
@@ -67,6 +67,14 @@ class Graph:
             ``[local rows ; halo rows]`` (see ``ops.halo``) and per-layer
             communication is an ``all_to_all`` of O(boundary) rows instead
             of an ``all_gather`` of the full node table.
+        csr_offsets: ``[num_blocks + 1]`` int32 or None. CSR layout for the
+            fused Pallas attention kernel (``ops.pallas_attention``): edges
+            are SORTED by sender and ``csr_offsets`` gives each
+            256-node block's edge range (``compute_block_offsets``). Requires
+            the node count to be a multiple of the kernel block size.
+        csr_max_chunks: static; the busiest block's chunk budget for the CSR
+            kernel grid (same for every sample of a dataset so the step
+            compiles once).
     """
 
     x: jax.Array
@@ -80,8 +88,10 @@ class Graph:
     exclude_mask: Optional[jax.Array] = None
     twin_perm: Optional[jax.Array] = None
     halo_send_idx: Optional[jax.Array] = None
+    csr_offsets: Optional[jax.Array] = None
     ell_degree: Optional[int] = None
     partition_axis: Optional[str] = None
+    csr_max_chunks: Optional[int] = None
 
     @property
     def num_nodes(self) -> int:
@@ -166,6 +176,53 @@ def pad_graph_np(
         node_mask=node_mask,
         edge_mask=edge_mask,
         y=y_p,
+    )
+
+
+def pad_graph_csr_np(
+    x: np.ndarray,
+    pos: np.ndarray,
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    n_pad: int,
+    e_pad: int,
+    edge_attr: Optional[np.ndarray] = None,
+    y: Optional[np.ndarray] = None,
+    node_type_index: Optional[int] = None,
+    block_nodes: Optional[int] = None,
+) -> Graph:
+    """``pad_graph_np`` with the edge list sorted by sender (stable) and the
+    per-block CSR offsets of the fused Pallas attention kernel attached
+    (``ops.pallas_attention``). Padded edges (sender = last node) sort after
+    every real edge, so the padded list stays ascending. ``n_pad`` must be a
+    multiple of the kernel's node-block size."""
+    from graphphysics_tpu.ops.pallas_segment import (
+        BLOCK_NODES,
+        compute_block_offsets,
+        compute_max_chunks,
+    )
+
+    bn = block_nodes or BLOCK_NODES
+    if n_pad % bn:
+        raise ValueError(
+            f"CSR layout requires node padding {n_pad} to be a multiple of "
+            f"the kernel block ({bn}); round the node budget up"
+        )
+    order = np.argsort(senders, kind="stable")
+    g = pad_graph_np(
+        x,
+        pos,
+        np.asarray(senders)[order],
+        np.asarray(receivers)[order],
+        n_pad,
+        e_pad,
+        edge_attr=None if edge_attr is None else np.asarray(edge_attr)[order],
+        y=y,
+        node_type_index=node_type_index,
+    )
+    offsets = compute_block_offsets(np.asarray(g.senders), n_pad, bn)
+    return g.replace(
+        csr_offsets=offsets, csr_max_chunks=compute_max_chunks(offsets)
     )
 
 
@@ -257,10 +314,26 @@ def flatten_batched_graph(g: Graph) -> "Graph":
         e = g.twin_perm.shape[1]
         e_offsets = (jnp.arange(b, dtype=g.twin_perm.dtype) * e)[:, None]
         twin_perm = (g.twin_perm + e_offsets).reshape(-1)
+    flat_senders = (g.senders + offsets).reshape(-1)
+    csr_offsets = None
+    csr_max_chunks = None
+    if g.csr_offsets is not None:
+        # per-graph lists are ascending and shifted by i*n, so the flat list
+        # is globally ascending; recompute block offsets over it. N % BN == 0
+        # (enforced at padding) keeps blocks within one graph, so the busiest
+        # flat block needs at most one extra straddling chunk window.
+        num_blocks = b * (g.csr_offsets.shape[1] - 1)
+        bn = n // (g.csr_offsets.shape[1] - 1)
+        bounds = jnp.arange(1, num_blocks + 1, dtype=jnp.int32) * bn
+        inner = jnp.searchsorted(flat_senders, bounds, side="left")
+        csr_offsets = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), inner.astype(jnp.int32)]
+        )
+        csr_max_chunks = (g.csr_max_chunks or 1) + 1
     return Graph(
         x=flat(g.x),
         pos=flat(g.pos),
-        senders=(g.senders + offsets).reshape(-1),
+        senders=flat_senders,
         receivers=(g.receivers + offsets).reshape(-1),
         edge_attr=flat(g.edge_attr),
         node_mask=flat(g.node_mask),
@@ -268,8 +341,10 @@ def flatten_batched_graph(g: Graph) -> "Graph":
         y=flat(g.y),
         exclude_mask=flat(g.exclude_mask),
         twin_perm=twin_perm,
+        csr_offsets=csr_offsets,
         ell_degree=g.ell_degree,
         partition_axis=g.partition_axis,
+        csr_max_chunks=csr_max_chunks,
     )
 
 
@@ -315,6 +390,19 @@ def concat_graphs(graphs: list) -> Graph:
         twin_perm = np.concatenate(
             [np.asarray(g.twin_perm) + i * e for i, g in enumerate(graphs)]
         ).astype(np.int32)
+    csr_offsets = None
+    csr_max_chunks = None
+    if graphs[0].csr_offsets is not None:
+        # per-graph ascending senders shifted by i*n stay globally ascending;
+        # recompute block offsets over the concat list (N % BN == 0 keeps
+        # blocks within one graph -> at most one extra straddling window)
+        from graphphysics_tpu.ops.pallas_segment import compute_block_offsets
+
+        bn = n // (len(np.asarray(graphs[0].csr_offsets)) - 1)
+        csr_offsets = compute_block_offsets(senders, len(graphs) * n, bn)
+        csr_max_chunks = max(
+            (g.csr_max_chunks or 1) for g in graphs
+        ) + (1 if len(graphs) > 1 else 0)
     return Graph(
         x=cat("x"),
         pos=cat("pos"),
@@ -326,5 +414,7 @@ def concat_graphs(graphs: list) -> Graph:
         y=cat("y"),
         exclude_mask=cat("exclude_mask"),
         twin_perm=twin_perm,
+        csr_offsets=csr_offsets,
         ell_degree=graphs[0].ell_degree,
+        csr_max_chunks=csr_max_chunks,
     )

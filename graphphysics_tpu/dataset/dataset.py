@@ -32,9 +32,12 @@ class BaseDataset(abc.ABC):
     -> random edges -> masking -> pad to static budgets``.
 
     ``edge_layout``: "coo" (default — XLA fuses the sorted scatter/gather well
-    on TPU; measured fastest end-to-end) or "ell" (experimental fixed-degree
-    owner-grouped layout, ``topology.ell`` — scatter-free dense reductions,
-    currently slower under XLA's broadcast/reshape lowering).
+    on TPU; measured fastest end-to-end), "csr" (edges sorted by sender with
+    per-block offsets — routes transformer attention through the fused Pallas
+    softmax+SpMM kernel, ``ops.pallas_attention``; measured faster at
+    large-3D-mesh scale), or "ell" (experimental fixed-degree owner-grouped
+    layout, ``topology.ell`` — scatter-free dense reductions, currently
+    slower under XLA's broadcast/reshape lowering).
     """
 
     def __init__(
@@ -72,10 +75,11 @@ class BaseDataset(abc.ABC):
         self.bucket_multiple = bucket_multiple
         self.edge_headroom = edge_headroom
         self.seed = seed
-        if edge_layout not in ("ell", "coo"):
+        if edge_layout not in ("ell", "coo", "csr"):
             raise ValueError(f"unknown edge_layout {edge_layout!r}")
         self.edge_layout = edge_layout
         self.ell_degree = ell_degree
+        self.csr_max_chunks: Optional[int] = None  # static chunk budget
         self._epoch = 0
 
         self.world_pos_index_start = None
@@ -238,6 +242,12 @@ class BaseDataset(abc.ABC):
             # trajectory size bounds every future sample
             n_max = max(max(counts) if counts else n, n)
             self.node_budget = round_up(n_max, self.bucket_multiple)
+            if self.edge_layout == "csr":
+                # the Pallas attention kernel needs whole node blocks (also
+                # keeps concat-batch blocks within one graph)
+                from graphphysics_tpu.ops.pallas_segment import BLOCK_NODES
+
+                self.node_budget = round_up(self.node_budget, BLOCK_NODES)
             if self.edge_budget is None and counts and max(counts) > n:
                 # scale the edge budget by the worst-case node count. NB this
                 # extrapolates the FIRST sample's edges-per-node; for
@@ -265,22 +275,56 @@ class BaseDataset(abc.ABC):
                     f"sample exceeds edge budget: {e}>{self.edge_budget}; raise "
                     f"edge_budget or edge_headroom"
                 )
-            graph = pad_graph_np(
-                sample.x,
-                sample.pos,
-                sample.senders,
-                sample.receivers,
-                n_pad=self.node_budget,
-                e_pad=self.edge_budget,
-                edge_attr=sample.edge_attr,
-                y=sample.y,
-                node_type_index=self.node_type_index,
-            )
+            if self.edge_layout == "csr":
+                graph = self._pad_csr(sample)
+            else:
+                graph = pad_graph_np(
+                    sample.x,
+                    sample.pos,
+                    sample.senders,
+                    sample.receivers,
+                    n_pad=self.node_budget,
+                    e_pad=self.edge_budget,
+                    edge_attr=sample.edge_attr,
+                    y=sample.y,
+                    node_type_index=self.node_type_index,
+                )
         if exclude is not None:
             padded = np.zeros(self.node_budget, dtype=bool)
             padded[: len(exclude)] = exclude
             graph = graph.replace(exclude_mask=padded)
         return graph
+
+    def _pad_csr(self, sample: RawSample) -> Graph:
+        """Sender-sorted CSR padding for the fused Pallas attention kernel.
+
+        The per-sample chunk count must stay within the dataset's static
+        budget (``csr_max_chunks``, fixed after the first sample with
+        headroom) so the jitted step compiles once; overflow raises instead
+        of silently dropping edges."""
+        from graphphysics_tpu.core.graph import pad_graph_csr_np
+
+        graph = pad_graph_csr_np(
+            sample.x,
+            sample.pos,
+            sample.senders,
+            sample.receivers,
+            n_pad=self.node_budget,
+            e_pad=self.edge_budget,
+            edge_attr=sample.edge_attr,
+            y=sample.y,
+            node_type_index=self.node_type_index,
+        )
+        if self.csr_max_chunks is None:
+            # +2 headroom: random/world edges can skew later samples' degrees
+            self.csr_max_chunks = (graph.csr_max_chunks or 1) + 2
+        if (graph.csr_max_chunks or 1) > self.csr_max_chunks:
+            raise ValueError(
+                f"sample needs {graph.csr_max_chunks} CSR chunks > static "
+                f"budget {self.csr_max_chunks}; pass a dataset with a larger "
+                f"csr_max_chunks or use edge_layout='coo'"
+            )
+        return graph.replace(csr_max_chunks=self.csr_max_chunks)
 
     def _pad_ell(self, sample: RawSample) -> Graph:
         """Fixed-degree ELL padding (the scatter-free device layout); falls

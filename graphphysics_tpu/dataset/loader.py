@@ -105,9 +105,11 @@ class GraphLoader:
         layout = getattr(ds, "edge_layout", "coo")
         lazy = getattr(ds, "node_budget", 1) is None or (
             # edge_budget stays None on the ELL path (ell_degree is its
-            # static-shape state) — only the COO layout pads by edge budget
-            layout == "coo" and getattr(ds, "edge_budget", 1) is None
-        ) or (layout == "ell" and getattr(ds, "ell_degree", 1) is None)
+            # static-shape state) — only COO/CSR layouts pad by edge budget
+            layout in ("coo", "csr") and getattr(ds, "edge_budget", 1) is None
+        ) or (layout == "ell" and getattr(ds, "ell_degree", 1) is None) or (
+            layout == "csr" and getattr(ds, "csr_max_chunks", 1) is None
+        )
         if lazy:
             ds[int(order[0])]
 

@@ -180,6 +180,8 @@ class Attention(nn.Module):
         twin_perm: Optional[jax.Array] = None,
         partition_axis: Optional[str] = None,
         halo_send_idx: Optional[jax.Array] = None,
+        csr_offsets: Optional[jax.Array] = None,
+        csr_max_chunks: Optional[int] = None,
     ) -> jax.Array:
         assert self.output_dim % self.num_heads == 0
         head_dim = self.output_dim // self.num_heads
@@ -235,6 +237,8 @@ class Attention(nn.Module):
             twin_perm=twin_perm,
             partition_axis=partition_axis,
             halo_send_idx=halo_send_idx,
+            csr_offsets=csr_offsets,
+            csr_max_chunks=csr_max_chunks,
         )
         # Back to the reference's flat layout: [N, H, Dh] -> (N, Dh, H) -> [N, D].
         y = y.transpose(0, 2, 1).reshape(n, self.output_dim)
@@ -265,6 +269,8 @@ class TransformerBlock(nn.Module):
         twin_perm: Optional[jax.Array] = None,
         partition_axis: Optional[str] = None,
         halo_send_idx: Optional[jax.Array] = None,
+        csr_offsets: Optional[jax.Array] = None,
+        csr_max_chunks: Optional[int] = None,
     ) -> jax.Array:
         attn = Attention(
             output_dim=self.output_dim,
@@ -283,6 +289,8 @@ class TransformerBlock(nn.Module):
             twin_perm,
             partition_axis,
             halo_send_idx,
+            csr_offsets,
+            csr_max_chunks,
         ).astype(x.dtype)
         x = x + GatedMLPBlock(
             hidden_size=self.output_dim, out_size=self.output_dim, dtype=self.dtype,

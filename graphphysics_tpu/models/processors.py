@@ -59,9 +59,11 @@ class _ScannedTransformerStack(nn.Module):
     dtype: Any = None
     remat: bool = False
 
+    csr_max_chunks: Any = None
+
     @nn.compact
     def __call__(self, x, senders, receivers, edge_mask, twin_perm,
-                 halo_send_idx):
+                 halo_send_idx, csr_offsets):
         block_cls = nn.remat(TransformerBlock) if self.remat else TransformerBlock
         x = block_cls(
             output_dim=self.output_dim,
@@ -71,7 +73,8 @@ class _ScannedTransformerStack(nn.Module):
             dtype=self.dtype,
             name="block",
         )(x, senders, receivers, edge_mask, self.ell_degree, twin_perm,
-          self.partition_axis, halo_send_idx)
+          self.partition_axis, halo_send_idx, csr_offsets,
+          self.csr_max_chunks)
         return x, None
 
 
@@ -231,9 +234,9 @@ class EncodeTransformDecode(nn.Module):
                 use_separate_proj_weight=self.use_separate_proj_weight,
                 ell_degree=graph.ell_degree,
                 partition_axis=graph.partition_axis, dtype=self.dtype,
-                remat=self.remat,
+                remat=self.remat, csr_max_chunks=graph.csr_max_chunks,
             )(x, graph.senders, graph.receivers, graph.edge_mask,
-              graph.twin_perm, graph.halo_send_idx)
+              graph.twin_perm, graph.halo_send_idx, graph.csr_offsets)
         else:
             block_cls = (
                 nn.remat(TransformerBlock) if self.remat else TransformerBlock
@@ -255,6 +258,8 @@ class EncodeTransformDecode(nn.Module):
                     graph.twin_perm,
                     graph.partition_axis,
                     graph.halo_send_idx,
+                    graph.csr_offsets,
+                    graph.csr_max_chunks,
                 )
 
         if self.only_processor:

@@ -367,7 +367,9 @@ def csr_sparse_attention(
     k_e, v_e = kv_e[:, :d], kv_e[:, d:]
     e = q_e.shape[0]
     prod = q_e.astype(jnp.float32) * k_e.astype(jnp.float32)
-    scores = prod.reshape(e, h, dh).sum(axis=-1) * jnp.float32(scale)
+    scores = prod.reshape(e, h, dh).sum(axis=-1) * jnp.asarray(
+        scale, jnp.float32
+    )
     seg = segments.astype(jnp.int32)
     if edge_mask is not None:
         scores = jnp.where(edge_mask[:, None], scores, _NEG)

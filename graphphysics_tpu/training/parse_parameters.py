@@ -151,6 +151,8 @@ def get_dataset(
         if wpp.get("use", False):
             world_pos_parameters = wpp
 
+    if "edge_layout" not in budget_kwargs and dataset_params.get("edge_layout"):
+        budget_kwargs["edge_layout"] = dataset_params["edge_layout"]
     common = dict(
         meta_path=dataset_params["meta_path"],
         preprocessing=preprocessing,
