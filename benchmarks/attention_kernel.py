@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from graphphysics_tpu.ops.attention import sparse_graph_attention
 from graphphysics_tpu.ops.pallas_attention import (
-    compute_block_offsets, compute_max_chunks, csr_sparse_attention,
+    compute_block_bounds, compute_max_chunks_bounds, csr_sparse_attention,
 )
 
 print("devices:", jax.devices())
@@ -27,8 +27,8 @@ def run_case(n, e, h, dh, label):
     senders = np.sort(r.integers(0, n, e)).astype(np.int32)
     receivers = r.integers(0, n, e).astype(np.int32)
     mask = r.random(e) > 0.05
-    offsets = compute_block_offsets(senders, n)
-    mc = compute_max_chunks(offsets)
+    offsets = compute_block_bounds(senders, n)
+    mc = compute_max_chunks_bounds(offsets)
     q = jnp.asarray(r.normal(size=(n, h, dh)).astype(np.float32))
     k = jnp.asarray(r.normal(size=(n, h, dh)).astype(np.float32))
     v = jnp.asarray(r.normal(size=(n, h, dh)).astype(np.float32))

@@ -114,7 +114,13 @@ def main(argv=None) -> int:
     if train_ds.ell_degree or val_ds.ell_degree:
         d = max(train_ds.ell_degree or 0, val_ds.ell_degree or 0)
         train_ds.ell_degree = val_ds.ell_degree = d
-    if train_ds.csr_max_chunks or val_ds.csr_max_chunks:
+    if train_ds.edge_layout == "csr" or val_ds.edge_layout == "csr":
+        # the per-split chunk budgets were fixed under pre-unification
+        # node/edge budgets; re-derive them under the unified shapes, then
+        # share the max so both splits pad identically
+        train_ds.csr_max_chunks = val_ds.csr_max_chunks = None
+        _ = train_ds[0]
+        _ = val_ds[0]
         mc = max(train_ds.csr_max_chunks or 0, val_ds.csr_max_chunks or 0)
         train_ds.csr_max_chunks = val_ds.csr_max_chunks = mc
     loader = GraphLoader(

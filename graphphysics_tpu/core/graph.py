@@ -67,11 +67,13 @@ class Graph:
             ``[local rows ; halo rows]`` (see ``ops.halo``) and per-layer
             communication is an ``all_to_all`` of O(boundary) rows instead
             of an ``all_gather`` of the full node table.
-        csr_offsets: ``[num_blocks + 1]`` int32 or None. CSR layout for the
+        csr_bounds: ``[2, num_blocks]`` int32 or None. CSR layout for the
             fused Pallas attention kernel (``ops.pallas_attention``): edges
-            are SORTED by sender and ``csr_offsets`` gives each
-            256-node block's edge range (``compute_block_offsets``). Requires
-            the node count to be a multiple of the kernel block size.
+            are SORTED by sender and ``csr_bounds`` gives each 256-node
+            block's [start, end) edge range (``compute_block_bounds``) —
+            trailing padding edges are excluded, and concat-batched graphs'
+            ranges skip each member's padding. Requires the node count to be
+            a multiple of the kernel block size.
         csr_max_chunks: static; the busiest block's chunk budget for the CSR
             kernel grid (same for every sample of a dataset so the step
             compiles once).
@@ -88,7 +90,7 @@ class Graph:
     exclude_mask: Optional[jax.Array] = None
     twin_perm: Optional[jax.Array] = None
     halo_send_idx: Optional[jax.Array] = None
-    csr_offsets: Optional[jax.Array] = None
+    csr_bounds: Optional[jax.Array] = None
     ell_degree: Optional[int] = None
     partition_axis: Optional[str] = None
     csr_max_chunks: Optional[int] = None
@@ -192,14 +194,17 @@ def pad_graph_csr_np(
     block_nodes: Optional[int] = None,
 ) -> Graph:
     """``pad_graph_np`` with the edge list sorted by sender (stable) and the
-    per-block CSR offsets of the fused Pallas attention kernel attached
-    (``ops.pallas_attention``). Padded edges (sender = last node) sort after
-    every real edge, so the padded list stays ascending. ``n_pad`` must be a
-    multiple of the kernel's node-block size."""
-    from graphphysics_tpu.ops.pallas_segment import (
+    per-block CSR [start, end) ranges of the fused Pallas attention kernel
+    attached (``ops.pallas_attention``). Padded edges (sender = last node)
+    sort after every real edge and the block ranges CLAMP before them, so
+    padding is never streamed by the kernel (its chunk budget therefore
+    depends only on the real-edge distribution, not on how much a small
+    sample is padded). ``n_pad`` must be a multiple of the kernel's
+    node-block size."""
+    from graphphysics_tpu.ops.pallas_attention import (
         BLOCK_NODES,
-        compute_block_offsets,
-        compute_max_chunks,
+        compute_block_bounds,
+        compute_max_chunks_bounds,
     )
 
     bn = block_nodes or BLOCK_NODES
@@ -220,9 +225,11 @@ def pad_graph_csr_np(
         y=y,
         node_type_index=node_type_index,
     )
-    offsets = compute_block_offsets(np.asarray(g.senders), n_pad, bn)
+    bounds = compute_block_bounds(
+        np.asarray(g.senders), n_pad, num_real_edges=len(senders), block_nodes=bn
+    )
     return g.replace(
-        csr_offsets=offsets, csr_max_chunks=compute_max_chunks(offsets)
+        csr_bounds=bounds, csr_max_chunks=compute_max_chunks_bounds(bounds)
     )
 
 
@@ -315,21 +322,18 @@ def flatten_batched_graph(g: Graph) -> "Graph":
         e_offsets = (jnp.arange(b, dtype=g.twin_perm.dtype) * e)[:, None]
         twin_perm = (g.twin_perm + e_offsets).reshape(-1)
     flat_senders = (g.senders + offsets).reshape(-1)
-    csr_offsets = None
+    csr_bounds = None
     csr_max_chunks = None
-    if g.csr_offsets is not None:
-        # per-graph lists are ascending and shifted by i*n, so the flat list
-        # is globally ascending; recompute block offsets over it. N % BN == 0
-        # (enforced at padding) keeps blocks within one graph, so the busiest
-        # flat block needs at most one extra straddling chunk window.
-        num_blocks = b * (g.csr_offsets.shape[1] - 1)
-        bn = n // (g.csr_offsets.shape[1] - 1)
-        bounds = jnp.arange(1, num_blocks + 1, dtype=jnp.int32) * bn
-        inner = jnp.searchsorted(flat_senders, bounds, side="left")
-        csr_offsets = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), inner.astype(jnp.int32)]
+    if g.csr_bounds is not None:
+        # exact shift-merge (see concat_graphs): graph i's [start, end)
+        # ranges move by i*E in the flattened edge array; clamped ends keep
+        # padding out. +1 chunk only when a shift can realign BE windows.
+        e = g.senders.shape[1]
+        e_offsets = (jnp.arange(b, dtype=jnp.int32) * e)[:, None, None]
+        csr_bounds = (
+            (g.csr_bounds + e_offsets).transpose(1, 0, 2).reshape(2, -1)
         )
-        csr_max_chunks = (g.csr_max_chunks or 1) + 1
+        csr_max_chunks = (g.csr_max_chunks or 1) + (1 if b > 1 else 0)
     return Graph(
         x=flat(g.x),
         pos=flat(g.pos),
@@ -341,7 +345,7 @@ def flatten_batched_graph(g: Graph) -> "Graph":
         y=flat(g.y),
         exclude_mask=flat(g.exclude_mask),
         twin_perm=twin_perm,
-        csr_offsets=csr_offsets,
+        csr_bounds=csr_bounds,
         ell_degree=g.ell_degree,
         partition_axis=g.partition_axis,
         csr_max_chunks=csr_max_chunks,
@@ -390,16 +394,18 @@ def concat_graphs(graphs: list) -> Graph:
         twin_perm = np.concatenate(
             [np.asarray(g.twin_perm) + i * e for i, g in enumerate(graphs)]
         ).astype(np.int32)
-    csr_offsets = None
+    csr_bounds = None
     csr_max_chunks = None
-    if graphs[0].csr_offsets is not None:
-        # per-graph ascending senders shifted by i*n stay globally ascending;
-        # recompute block offsets over the concat list (N % BN == 0 keeps
-        # blocks within one graph -> at most one extra straddling window)
-        from graphphysics_tpu.ops.pallas_segment import compute_block_offsets
-
-        bn = n // (len(np.asarray(graphs[0].csr_offsets)) - 1)
-        csr_offsets = compute_block_offsets(senders, len(graphs) * n, bn)
+    if graphs[0].csr_bounds is not None:
+        # exact shift-merge: graph i's [start, end) ranges move by i*e in the
+        # concatenated edge array (N % BN == 0 keeps blocks within one graph,
+        # and the per-graph clamped ends keep each member's padding edges out
+        # of every range). The shift can realign a range's BE windows by at
+        # most one -> +1 chunk headroom for multi-graph batches.
+        csr_bounds = np.concatenate(
+            [np.asarray(g.csr_bounds) + i * e for i, g in enumerate(graphs)],
+            axis=1,
+        ).astype(np.int32)
         csr_max_chunks = max(
             (g.csr_max_chunks or 1) for g in graphs
         ) + (1 if len(graphs) > 1 else 0)
@@ -414,7 +420,7 @@ def concat_graphs(graphs: list) -> Graph:
         y=cat("y"),
         exclude_mask=cat("exclude_mask"),
         twin_perm=twin_perm,
-        csr_offsets=csr_offsets,
+        csr_bounds=csr_bounds,
         ell_degree=graphs[0].ell_degree,
         csr_max_chunks=csr_max_chunks,
     )

@@ -58,6 +58,7 @@ class BaseDataset(abc.ABC):
         seed: int = 0,
         edge_layout: str = "coo",
         ell_degree: Optional[int] = None,
+        csr_max_chunks: Optional[int] = None,
     ):
         with open(meta_path, "r") as fp:
             self.meta: Dict[str, Any] = json.load(fp)
@@ -79,7 +80,7 @@ class BaseDataset(abc.ABC):
             raise ValueError(f"unknown edge_layout {edge_layout!r}")
         self.edge_layout = edge_layout
         self.ell_degree = ell_degree
-        self.csr_max_chunks: Optional[int] = None  # static chunk budget
+        self.csr_max_chunks = csr_max_chunks  # static chunk budget
         self._epoch = 0
 
         self.world_pos_index_start = None
@@ -321,8 +322,9 @@ class BaseDataset(abc.ABC):
         if (graph.csr_max_chunks or 1) > self.csr_max_chunks:
             raise ValueError(
                 f"sample needs {graph.csr_max_chunks} CSR chunks > static "
-                f"budget {self.csr_max_chunks}; pass a dataset with a larger "
-                f"csr_max_chunks or use edge_layout='coo'"
+                f"budget {self.csr_max_chunks}; pass csr_max_chunks="
+                f"{graph.csr_max_chunks} (or more) to the dataset, or use "
+                f"edge_layout='coo'"
             )
         return graph.replace(csr_max_chunks=self.csr_max_chunks)
 

@@ -180,7 +180,7 @@ class Attention(nn.Module):
         twin_perm: Optional[jax.Array] = None,
         partition_axis: Optional[str] = None,
         halo_send_idx: Optional[jax.Array] = None,
-        csr_offsets: Optional[jax.Array] = None,
+        csr_bounds: Optional[jax.Array] = None,
         csr_max_chunks: Optional[int] = None,
     ) -> jax.Array:
         assert self.output_dim % self.num_heads == 0
@@ -237,7 +237,7 @@ class Attention(nn.Module):
             twin_perm=twin_perm,
             partition_axis=partition_axis,
             halo_send_idx=halo_send_idx,
-            csr_offsets=csr_offsets,
+            csr_bounds=csr_bounds,
             csr_max_chunks=csr_max_chunks,
         )
         # Back to the reference's flat layout: [N, H, Dh] -> (N, Dh, H) -> [N, D].
@@ -269,7 +269,7 @@ class TransformerBlock(nn.Module):
         twin_perm: Optional[jax.Array] = None,
         partition_axis: Optional[str] = None,
         halo_send_idx: Optional[jax.Array] = None,
-        csr_offsets: Optional[jax.Array] = None,
+        csr_bounds: Optional[jax.Array] = None,
         csr_max_chunks: Optional[int] = None,
     ) -> jax.Array:
         attn = Attention(
@@ -289,7 +289,7 @@ class TransformerBlock(nn.Module):
             twin_perm,
             partition_axis,
             halo_send_idx,
-            csr_offsets,
+            csr_bounds,
             csr_max_chunks,
         ).astype(x.dtype)
         x = x + GatedMLPBlock(

@@ -63,7 +63,7 @@ class _ScannedTransformerStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_mask, twin_perm,
-                 halo_send_idx, csr_offsets):
+                 halo_send_idx, csr_bounds):
         block_cls = nn.remat(TransformerBlock) if self.remat else TransformerBlock
         x = block_cls(
             output_dim=self.output_dim,
@@ -73,7 +73,7 @@ class _ScannedTransformerStack(nn.Module):
             dtype=self.dtype,
             name="block",
         )(x, senders, receivers, edge_mask, self.ell_degree, twin_perm,
-          self.partition_axis, halo_send_idx, csr_offsets,
+          self.partition_axis, halo_send_idx, csr_bounds,
           self.csr_max_chunks)
         return x, None
 
@@ -236,7 +236,7 @@ class EncodeTransformDecode(nn.Module):
                 partition_axis=graph.partition_axis, dtype=self.dtype,
                 remat=self.remat, csr_max_chunks=graph.csr_max_chunks,
             )(x, graph.senders, graph.receivers, graph.edge_mask,
-              graph.twin_perm, graph.halo_send_idx, graph.csr_offsets)
+              graph.twin_perm, graph.halo_send_idx, graph.csr_bounds)
         else:
             block_cls = (
                 nn.remat(TransformerBlock) if self.remat else TransformerBlock
@@ -258,7 +258,7 @@ class EncodeTransformDecode(nn.Module):
                     graph.twin_perm,
                     graph.partition_axis,
                     graph.halo_send_idx,
-                    graph.csr_offsets,
+                    graph.csr_bounds,
                     graph.csr_max_chunks,
                 )
 

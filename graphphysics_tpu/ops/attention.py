@@ -43,7 +43,7 @@ def sparse_graph_attention(
     twin_perm: Optional[jax.Array] = None,
     partition_axis: Optional[str] = None,
     halo_send_idx: Optional[jax.Array] = None,
-    csr_offsets: Optional[jax.Array] = None,
+    csr_bounds: Optional[jax.Array] = None,
     csr_max_chunks: Optional[int] = None,
 ) -> jax.Array:
     """Adjacency-masked attention.
@@ -62,7 +62,7 @@ def sparse_graph_attention(
             node is then the slot OWNER (``receivers``) and keys/values come
             from ``senders`` — the transpose of the COO convention, equal on
             the symmetric mesh adjacency the reference relies on.
-        csr_offsets/csr_max_chunks: when the edge list is sender-sorted CSR
+        csr_bounds/csr_max_chunks: when the edge list is sender-sorted CSR
             (``edge_layout="csr"``), softmax+SpMM run in the fused Pallas
             kernel (``ops.pallas_attention``) — same COO convention, same
             result; measured faster at large-3D-mesh scale.
@@ -119,11 +119,11 @@ def sparse_graph_attention(
         out = ell_segment_sum(weight(v_e, attn), ell_degree, edge_mask)
         return out.reshape(num_nodes, h, dh)
 
-    if csr_offsets is not None:
+    if csr_bounds is not None:
         from graphphysics_tpu.ops.pallas_attention import csr_sparse_attention
 
         return csr_sparse_attention(
-            q, k, v, senders, receivers, csr_offsets,
+            q, k, v, senders, receivers, csr_bounds,
             edge_mask=edge_mask, scale=scale,
             max_chunks=csr_max_chunks,
         )

@@ -10,7 +10,7 @@ without removing any HBM traffic.
 
 Layout: the same segment-sorted CSR edge list as ``ops.pallas_segment`` —
 the host sorts edges by the softmax segment key once per topology and
-provides per-node-block edge offsets (``compute_block_offsets``). Per-edge
+provides per-node-block edge ranges (``compute_block_bounds``). Per-edge
 data is packed into ONE ``[E_pad, C]`` array (``[values | scores | segment]``,
 C rounded up to the 128-lane tile) so each chunk is a single tiling-aligned
 DMA; Mosaic's HBM slicing rejects narrow (H-wide) column slices.
@@ -39,9 +39,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import numpy as np
+
 from graphphysics_tpu.ops.pallas_segment import (
-    compute_block_offsets,  # noqa: F401  (re-exported: same CSR layout)
-    compute_max_chunks,  # noqa: F401
+    compute_block_offsets,  # noqa: F401  (the contiguous-offsets variant)
 )
 
 # Defaults tuned for H=4..8 heads, D=H*Dh=64..512, f32.
@@ -49,6 +50,39 @@ BLOCK_NODES = 256  # segment rows per program
 BLOCK_EDGES = 512  # edges DMA'd + reduced per chunk
 
 _NEG = -1e30  # finite -inf stand-in (inf - inf would NaN in the online max)
+
+
+def compute_block_bounds(
+    segments_sorted: np.ndarray,
+    num_nodes: int,
+    num_real_edges: Optional[int] = None,
+    block_nodes: int = BLOCK_NODES,
+) -> np.ndarray:
+    """Host-side: per-node-block [start, end) edge ranges as a ``[2, NB]``
+    int32 array (row 0 starts, row 1 ends). Unlike contiguous offsets, ends
+    may CLAMP to ``num_real_edges`` so trailing padding edges (sorted last —
+    they carry the largest sender) are never streamed, and ranges of
+    concatenated graphs may leave gaps over each graph's padding."""
+    segments_sorted = np.asarray(segments_sorted)
+    num_blocks = -(-num_nodes // block_nodes)
+    bounds = np.arange(num_blocks + 1) * block_nodes
+    offsets = np.searchsorted(segments_sorted, bounds[1:], side="left")
+    starts = np.concatenate([[0], offsets[:-1]])
+    ends = offsets
+    if num_real_edges is not None:
+        starts = np.minimum(starts, num_real_edges)
+        ends = np.minimum(ends, num_real_edges)
+    return np.stack([starts, ends]).astype(np.int32)
+
+
+def compute_max_chunks_bounds(
+    bounds: np.ndarray, block_edges: int = BLOCK_EDGES
+) -> int:
+    """Host-side: BE-aligned windows needed by the busiest block's range."""
+    starts, ends = np.asarray(bounds, np.int64)
+    first = starts // block_edges
+    last = -(-np.maximum(ends, starts + 1) // block_edges)
+    return int(np.maximum(last - first, 1).max())
 
 
 def _dot(a, b, dims):
@@ -65,7 +99,7 @@ def _dot(a, b, dims):
 
 
 def _kernel(
-    offsets_ref,  # scalar prefetch: [num_blocks + 1] int32
+    bounds_ref,  # scalar prefetch: [2, num_blocks] int32 (block starts; ends)
     packed_ref,  # HBM: [E_pad, C] f32 = [values(D) | scores(H) | seg(1) | pad]
     out_ref,  # VMEM: [BN, D] f32
     packed_scratch,  # VMEM: [2, BE, C]
@@ -81,8 +115,8 @@ def _kernel(
 ):
     b = pl.program_id(0)
     row0 = b * block_nodes
-    e_start = offsets_ref[b]
-    e_end = offsets_ref[b + 1]
+    e_start = bounds_ref[0, b]
+    e_end = bounds_ref[1, b]
     # BE-aligned absolute windows covering [e_start, e_end) — DMA offsets stay
     # tiling-aligned; edges of neighboring blocks inside a straddling window
     # are dropped by the one-hot row compare (their segment falls outside
@@ -196,7 +230,7 @@ def _softmax_spmm_impl(
     scores: jax.Array,
     values: jax.Array,
     segments: jax.Array,
-    offsets: jax.Array,
+    bounds: jax.Array,
     num_nodes: int,
     num_heads: int,
     block_nodes: int,
@@ -246,7 +280,7 @@ def _softmax_spmm_impl(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_blocks * block_nodes, d), jnp.float32),
-    )(offsets, packed)
+    )(bounds, packed)
     return out[:num_nodes].astype(values.dtype)
 
 
@@ -255,7 +289,7 @@ def csr_softmax_spmm(
     scores: jax.Array,
     values: jax.Array,
     segments: jax.Array,
-    offsets: jax.Array,
+    bounds: jax.Array,
     num_nodes: int,
     block_nodes: int = BLOCK_NODES,
     block_edges: int = BLOCK_EDGES,
@@ -270,7 +304,9 @@ def csr_softmax_spmm(
         segments: ``[E]`` int32 softmax segment per edge, ASCENDING
             (host-sorted once per topology); masked/padded edges may carry
             ``num_nodes`` in place.
-        offsets: ``compute_block_offsets(segments, num_nodes, block_nodes)``.
+        bounds: ``compute_block_bounds(segments, num_nodes, ...)`` —
+            ``[2, num_blocks]`` per-block [start, end) edge ranges; ends may
+            clamp before trailing padding and ranges may leave gaps.
 
     Returns:
         ``[num_nodes, D]``: ``sum_e softmax(scores)[e] * values[e]`` per
@@ -281,7 +317,7 @@ def csr_softmax_spmm(
     if max_chunks is None:
         max_chunks = -(-scores.shape[0] // block_edges) + 1
     return _softmax_spmm_impl(
-        scores, values, segments, offsets,
+        scores, values, segments, bounds,
         num_nodes, h, block_nodes, block_edges, max_chunks,
     )
 
@@ -299,9 +335,9 @@ def _xla_attn_weights(scores, segments, num_nodes):
     return ex / (denom[segments] + 1e-16)
 
 
-def _fwd(scores, values, segments, offsets, num_nodes, bn, be, mc):
+def _fwd(scores, values, segments, bounds, num_nodes, bn, be, mc):
     out = csr_softmax_spmm(
-        scores, values, segments, offsets, num_nodes, bn, be, mc
+        scores, values, segments, bounds, num_nodes, bn, be, mc
     )
     return out, (scores, values, segments)
 
@@ -338,7 +374,7 @@ def csr_sparse_attention(
     v: jax.Array,
     segments: jax.Array,
     gather_idx: jax.Array,
-    offsets: jax.Array,
+    bounds: jax.Array,
     edge_mask: Optional[jax.Array] = None,
     scale: float = 1.0,
     block_nodes: int = BLOCK_NODES,
@@ -375,6 +411,6 @@ def csr_sparse_attention(
         scores = jnp.where(edge_mask[:, None], scores, _NEG)
         seg = jnp.where(edge_mask, seg, n)
     out = csr_softmax_spmm(
-        scores, v_e, seg, offsets, n, block_nodes, block_edges, max_chunks
+        scores, v_e, seg, bounds, n, block_nodes, block_edges, max_chunks
     )
     return out.reshape(n, h, dh).astype(q.dtype)

@@ -247,12 +247,16 @@ class Trainer:
                     if step % self.log_every == 0:
                         lr = float(self.schedule(step))
                         self._log(epoch, step, {"train_loss": float(loss), "lr": lr})
-                    if self._interrupt_requested or (
+                    # snapshot once: a signal landing between a
+                    # "should I save?" and a "should I stop?" read must not
+                    # let fit() return without the checkpoint it claims
+                    stop = self._interrupt_requested
+                    if stop or (
                         self.save_every_n_steps
                         and step % self.save_every_n_steps == 0
                     ):
                         self.save(epoch, batch_offset=offset + nsteps)
-                    if self._interrupt_requested:
+                    if stop:
                         print(
                             f"[trainer] interrupted at epoch {epoch} "
                             f"batch {offset + nsteps}; checkpoint saved — "
@@ -299,8 +303,20 @@ class Trainer:
         prev = {}
 
         def _handler(signum, frame):
+            if self._interrupt_requested:
+                # second signal: stop waiting for a step boundary (e.g. stuck
+                # in a long compile or validation rollout) — restore the
+                # original handlers and interrupt immediately
+                self._restore_signal_handlers(prev)
+                raise KeyboardInterrupt(
+                    f"second signal {signum} during fit(); checkpoint may be "
+                    f"stale"
+                )
             self.request_interrupt()
-            print(f"[trainer] caught signal {signum}: will checkpoint and stop")
+            print(
+                f"[trainer] caught signal {signum}: will checkpoint and stop "
+                f"at the next step boundary (signal again to abort now)"
+            )
 
         for sig in (signal.SIGTERM, signal.SIGINT):
             try:

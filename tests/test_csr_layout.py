@@ -16,9 +16,10 @@ from graphphysics_tpu.core.graph import (
     stack_graphs,
 )
 from graphphysics_tpu.models.processors import EncodeTransformDecode
-from graphphysics_tpu.ops.pallas_segment import (
+from graphphysics_tpu.ops.pallas_attention import (
     BLOCK_NODES,
-    compute_block_offsets,
+    compute_block_bounds,
+    compute_max_chunks_bounds,
 )
 
 
@@ -38,8 +39,11 @@ def test_pad_graph_csr_sorted_and_offsets():
     sj = np.asarray(g.senders)
     assert np.all(np.diff(sj) >= 0)  # ascending incl. padding (sender 511)
     np.testing.assert_array_equal(
-        np.asarray(g.csr_offsets), compute_block_offsets(sj, 512, BLOCK_NODES)
+        np.asarray(g.csr_bounds),
+        compute_block_bounds(sj, 512, num_real_edges=2000),
     )
+    # block ranges stop before the trailing padding edges
+    assert np.asarray(g.csr_bounds)[1].max() == 2000
     assert g.csr_max_chunks >= 1
     # edge set preserved (as multiset of pairs)
     got = sorted(zip(sj[: len(s)].tolist(), np.asarray(g.receivers)[: len(s)]))
@@ -96,7 +100,7 @@ def test_transformer_grad_parity_coo_vs_csr():
         )
 
 
-def test_concat_graphs_recomputes_csr_offsets():
+def test_concat_graphs_merges_csr_bounds():
     x1, pos1, s1, r1 = _raw(300, 2000, seed=1)
     x2, pos2, s2, r2 = _raw(280, 1800, seed=2)
     g1 = pad_graph_csr_np(x1, pos1, s1, r1, n_pad=512, e_pad=2048)
@@ -105,9 +109,13 @@ def test_concat_graphs_recomputes_csr_offsets():
     gb = concat_graphs([g1, g2])
     sj = np.asarray(gb.senders)
     assert np.all(np.diff(sj) >= 0)
-    np.testing.assert_array_equal(
-        np.asarray(gb.csr_offsets), compute_block_offsets(sj, 1024, BLOCK_NODES)
+    expected = np.concatenate(
+        [np.asarray(g1.csr_bounds), np.asarray(g2.csr_bounds) + 2048], axis=1
     )
+    np.testing.assert_array_equal(np.asarray(gb.csr_bounds), expected)
+    # each member's padding edges stay outside every range
+    ends = np.asarray(gb.csr_bounds)[1]
+    assert ends[1] <= 2000 and ends[-1] <= 2048 + 1800
     assert gb.csr_max_chunks == g1.csr_max_chunks + 1
 
     # batched forward parity vs the XLA path on the same concat graph
@@ -115,7 +123,7 @@ def test_concat_graphs_recomputes_csr_offsets():
         message_passing_num=1, node_input_size=x1.shape[1], output_size=3,
         hidden_size=16, num_heads=4,
     )
-    gb_coo = gb.replace(csr_offsets=None, csr_max_chunks=None)
+    gb_coo = gb.replace(csr_bounds=None, csr_max_chunks=None)
     params = model.init(jax.random.key(0), jax.device_put(gb_coo))
     out_coo = model.apply(params, jax.device_put(gb_coo))
     with pltpu.force_tpu_interpret_mode():
@@ -125,7 +133,7 @@ def test_concat_graphs_recomputes_csr_offsets():
     )
 
 
-def test_flatten_batched_graph_csr_offsets():
+def test_flatten_batched_graph_csr_bounds():
     x1, pos1, s1, r1 = _raw(300, 2000, seed=3)
     x2, pos2, s2, r2 = _raw(290, 1900, seed=4)
     g1 = pad_graph_csr_np(x1, pos1, s1, r1, n_pad=512, e_pad=2048)
@@ -135,7 +143,7 @@ def test_flatten_batched_graph_csr_offsets():
     flat = jax.jit(flatten_batched_graph)(jax.device_put(stacked))
     expected = concat_graphs([g1, g2])
     np.testing.assert_array_equal(
-        np.asarray(flat.csr_offsets), np.asarray(expected.csr_offsets)
+        np.asarray(flat.csr_bounds), np.asarray(expected.csr_bounds)
     )
     np.testing.assert_array_equal(
         np.asarray(flat.senders), np.asarray(expected.senders)
@@ -174,8 +182,21 @@ def test_dataset_csr_layout_end_to_end(tmp_path):
     g = ds[0]
     assert ds.edge_layout == "csr"
     assert ds.node_budget % BLOCK_NODES == 0
-    assert g.csr_offsets is not None and g.csr_max_chunks == ds.csr_max_chunks
+    assert g.csr_bounds is not None and g.csr_max_chunks == ds.csr_max_chunks
     assert np.all(np.diff(np.asarray(g.senders)) >= 0)
     batch = GraphLoader(ds, batch_size=2, prefetch=0).peek()
-    assert batch.csr_offsets is not None
+    assert batch.csr_bounds is not None
     assert np.all(np.diff(np.asarray(batch.senders)) >= 0)
+
+
+def test_csr_chunk_budget_independent_of_padding():
+    """A small sample padded into a large edge budget must not need more
+    chunks than the same sample at a tight budget (padding edges are excluded
+    from every block range) — the heterogeneous-trajectory regression."""
+    x, pos, s, r = _raw(300, 2000, seed=6)
+    g_tight = pad_graph_csr_np(x, pos, s, r, n_pad=512, e_pad=2048)
+    g_loose = pad_graph_csr_np(x, pos, s, r, n_pad=512, e_pad=6144)
+    assert g_loose.csr_max_chunks <= g_tight.csr_max_chunks + 1
+    assert compute_max_chunks_bounds(np.asarray(g_loose.csr_bounds)) == (
+        g_loose.csr_max_chunks
+    )

@@ -10,8 +10,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from graphphysics_tpu.ops.attention import sparse_graph_attention
 from graphphysics_tpu.ops.pallas_attention import (
-    compute_block_offsets,
-    compute_max_chunks,
+    compute_block_bounds,
+    compute_max_chunks_bounds,
     csr_softmax_spmm,
     csr_sparse_attention,
 )
@@ -25,8 +25,8 @@ def _graph(n, e, seed=0, mask_frac=0.0):
     mask = None
     if mask_frac > 0:
         mask = r.random(e) > mask_frac
-    offsets = compute_block_offsets(senders, n)
-    mc = compute_max_chunks(offsets)
+    offsets = compute_block_bounds(senders, n)
+    mc = compute_max_chunks_bounds(offsets)
     return senders, receivers, mask, offsets, mc
 
 
@@ -36,8 +36,8 @@ def test_softmax_spmm_matches_xla(n, e, h, dh):
     seg = np.sort(r.integers(0, n, e)).astype(np.int32)
     scores = r.normal(size=(e, h)).astype(np.float32)
     values = r.normal(size=(e, h * dh)).astype(np.float32)
-    offsets = compute_block_offsets(seg, n)
-    mc = compute_max_chunks(offsets)
+    offsets = compute_block_bounds(seg, n)
+    mc = compute_max_chunks_bounds(offsets)
 
     with pltpu.force_tpu_interpret_mode():
         out = csr_softmax_spmm(
@@ -86,8 +86,8 @@ def test_empty_segments_and_skew():
     seg = np.sort(r.integers(0, 8, e)).astype(np.int32)
     scores = r.normal(size=(e, h)).astype(np.float32)
     values = r.normal(size=(e, h * dh)).astype(np.float32)
-    offsets = compute_block_offsets(seg, n)
-    mc = compute_max_chunks(offsets)
+    offsets = compute_block_bounds(seg, n)
+    mc = compute_max_chunks_bounds(offsets)
     with pltpu.force_tpu_interpret_mode():
         out = csr_softmax_spmm(
             jnp.asarray(scores), jnp.asarray(values), jnp.asarray(seg),
