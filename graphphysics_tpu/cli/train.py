@@ -47,6 +47,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--save_every_n_steps", type=int, default=None,
                    help="also checkpoint mid-epoch every N steps (preemption "
                         "safety; SIGTERM/SIGINT always checkpoint before exit)")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of a few train steps "
+                        "here (view with TensorBoard/xprof)")
+    p.add_argument("--profile_start_step", type=int, default=10)
+    p.add_argument("--profile_num_steps", type=int, default=3)
     p.add_argument(
         "--external_features",
         default=None,
@@ -174,6 +179,9 @@ def main(argv=None) -> int:
         seed=args.seed,
         extra_logger=extra_logger,
         save_every_n_steps=args.save_every_n_steps,
+        profile_dir=args.profile_dir,
+        profile_start_step=args.profile_start_step,
+        profile_num_steps=args.profile_num_steps,
         **prev_kwargs,
     )
     trainer.fit(

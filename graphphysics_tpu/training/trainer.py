@@ -57,6 +57,9 @@ class Trainer:
         data_parallel: bool = False,
         num_devices: Optional[int] = None,
         save_every_n_steps: Optional[int] = None,
+        profile_dir: Optional[str] = None,
+        profile_start_step: int = 10,
+        profile_num_steps: int = 3,
     ):
         self.param = parameters
         self.learning_rate = learning_rate
@@ -77,6 +80,14 @@ class Trainer:
         self.data_parallel = data_parallel
         self.num_devices = num_devices
         self.save_every_n_steps = save_every_n_steps
+        # jax.profiler trace of steps [start, start+num) (reference has no
+        # profiler integration, SURVEY.md §5; view with TensorBoard/xprof).
+        # NB through the tunnel per-op times carry ~0.7 ms/op overhead —
+        # relative comparisons only (utils/profiling.py).
+        self.profile_dir = profile_dir
+        self.profile_start_step = profile_start_step
+        self.profile_num_steps = profile_num_steps
+        self._trace_active = False
         self.mesh = None
         # preemption handling (reference has none, SURVEY.md §5): a SIGTERM/
         # SIGINT during fit() requests a checkpoint at the next step boundary
@@ -240,6 +251,7 @@ class Trainer:
                 step0 = int(self.state["step"])
                 for batch in train_loader:
                     gb = self._put_batch(batch)
+                    self._maybe_profile(step0 + nsteps + 1)
                     self.state, loss = self._train_step(self.state, gb)
                     nsteps += 1
                     loss_acc = loss if loss_acc is None else loss_acc + loss
@@ -290,7 +302,29 @@ class Trainer:
                 self.save(epoch)
             return history
         finally:
+            self._stop_profile()
             self._restore_signal_handlers(prev_handlers)
+
+    def _maybe_profile(self, step: int) -> None:
+        """Start/stop the jax.profiler trace window around the configured
+        steps (called just before dispatching ``step``)."""
+        if not self.profile_dir:
+            return
+        if not self._trace_active and step == self.profile_start_step:
+            jax.profiler.start_trace(self.profile_dir)
+            self._trace_active = True
+        elif (
+            self._trace_active
+            and step >= self.profile_start_step + self.profile_num_steps
+        ):
+            self._stop_profile()
+
+    def _stop_profile(self) -> None:
+        if self._trace_active:
+            jax.block_until_ready(jax.tree_util.tree_leaves(self.state)[0])
+            jax.profiler.stop_trace()
+            self._trace_active = False
+            print(f"[trainer] profiler trace written to {self.profile_dir}")
 
     def request_interrupt(self) -> None:
         """Ask fit() to checkpoint and stop at the next step boundary (what

@@ -284,6 +284,22 @@ def jax_leaves(tree):
     return jax.tree_util.tree_leaves(tree)
 
 
+def test_profile_dir_writes_trace(cylinder_env, tmp_path):
+    tmp, param = cylinder_env
+    trainer, loader, _ = _make(param, tmp_path / "prof")
+    trainer.profile_dir = str(tmp_path / "trace")
+    trainer.profile_start_step = 2
+    trainer.profile_num_steps = 2
+    trainer.fit(loader, num_epochs=1)
+    assert not trainer._trace_active
+    found = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(tmp_path / "trace")
+        for f in fs
+    ]
+    assert found, "no profiler trace files written"
+
+
 def test_fit_gmm_head(cylinder_env):
     """Training with a diagonal GMM head: NLL loss path + sampled rollout."""
     tmp, param = cylinder_env
