@@ -100,9 +100,9 @@ def _dot(a, b, dims):
 
 def _kernel(
     bounds_ref,  # scalar prefetch: [2, num_blocks] int32 (block starts; ends)
-    packed_ref,  # HBM: [E_pad, C] f32 = [values(D) | scores(H) | seg(1) | pad]
+    packed_ref,  # HBM: [E_pad, C] = [values(D) | scores(H) | seg bits | pad]
     out_ref,  # VMEM: [BN, D] f32
-    packed_scratch,  # VMEM: [2, BE, C]
+    packed_scratch,  # VMEM: [2, BE, C] (stream dtype)
     m_ref,  # VMEM: [H, BN] running max (head-major)
     l_ref,  # VMEM: [H, BN] running sum of exp
     sems,  # DMA semaphores (2,)
@@ -165,12 +165,25 @@ def _kernel(
                 sems.at[slot],
             ).wait()
 
-            block = packed_scratch[slot]  # [BE, C]
+            raw = packed_scratch[slot]  # [BE, C] stream dtype
+            # upcast once: the stream may be bf16 (halved HBM traffic);
+            # all arithmetic stays f32
+            block = raw.astype(jnp.float32)
             values_c = block[:, :d]  # [BE, D]
             scores_c = block[:, d : d + num_heads]  # [BE, H]
-            seg_col = block[:, d + num_heads : d + num_heads + 1].astype(
-                jnp.int32
-            )  # [BE, 1] (exact for node counts < 2^24)
+            # segment ids travel as FLOAT VALUES in trailing lanes (bit
+            # patterns through bf16 are unsafe: int patterns that form NaNs
+            # get canonicalized in transit): one f32 lane exact below 2^24,
+            # or three base-256 bf16 digit lanes (each 0..255 exact) — the
+            # same 2^24 ceiling
+            sbase = d + num_heads
+            if raw.dtype == jnp.float32:
+                seg_col = block[:, sbase : sbase + 1].astype(jnp.int32)
+            else:
+                d0 = block[:, sbase : sbase + 1].astype(jnp.int32)
+                d1 = block[:, sbase + 1 : sbase + 2].astype(jnp.int32)
+                d2 = block[:, sbase + 2 : sbase + 3].astype(jnp.int32)
+                seg_col = d0 + (d1 << 8) + (d2 << 16)  # [BE, 1]
 
             cols = jax.lax.broadcasted_iota(
                 jnp.int32, (block_edges, block_nodes), 1
@@ -224,6 +237,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "num_nodes", "num_heads", "block_nodes", "block_edges", "max_chunks",
+        "stream_dtype",
     ),
 )
 def _softmax_spmm_impl(
@@ -236,6 +250,7 @@ def _softmax_spmm_impl(
     block_nodes: int,
     block_edges: int,
     max_chunks: int,
+    stream_dtype: str = "f32",
 ) -> jax.Array:
     e, h = scores.shape
     d = values.shape[1]
@@ -243,16 +258,37 @@ def _softmax_spmm_impl(
     head_dim = d // h
     num_blocks = -(-num_nodes // block_nodes)
     e_pad = (-(-(e + 1) // block_edges)) * block_edges
-    c_width = -(-(d + h + 1) // 128) * 128  # lane-tile aligned packed width
+    seg32 = segments.astype(jnp.int32)
 
-    # pack [values | scores | seg] into one aligned-DMA array; the padding
+    if stream_dtype == "f32":
+        dt, seg_lanes = jnp.float32, 1
+    elif stream_dtype == "bf16":
+        dt, seg_lanes = jnp.bfloat16, 3
+    else:
+        raise ValueError(f"unknown stream_dtype {stream_dtype!r}")
+    if num_nodes >= 1 << 24:
+        raise ValueError("CSR kernel segment encoding caps num_nodes at 2^24")
+    c_width = -(-(d + h + seg_lanes) // 128) * 128  # lane-tile aligned
+
+    # pack [values | scores | seg bits] into one aligned-DMA array; padding
     # rows carry score -inf and segment num_nodes (dropped by the kernel)
-    packed = jnp.zeros((e_pad, c_width), jnp.float32)
-    packed = packed.at[:e, :d].set(values.astype(jnp.float32))
-    packed = packed.at[:e, d : d + h].set(scores.astype(jnp.float32))
-    packed = packed.at[e:, d : d + h].set(_NEG)
-    packed = packed.at[:, d + h].set(float(num_nodes))
-    packed = packed.at[:e, d + h].set(segments.astype(jnp.float32))
+    packed = jnp.zeros((e_pad, c_width), dt)
+    packed = packed.at[:e, :d].set(values.astype(dt))
+    packed = packed.at[:e, d : d + h].set(scores.astype(dt))
+    packed = packed.at[e:, d : d + h].set(jnp.asarray(_NEG, dt))
+    seg_p = jnp.full((e_pad,), num_nodes, jnp.int32).at[:e].set(seg32)
+    if stream_dtype == "f32":
+        packed = packed.at[:, d + h].set(seg_p.astype(jnp.float32))
+    else:
+        packed = packed.at[:, d + h].set(
+            (seg_p & 0xFF).astype(jnp.bfloat16)
+        )
+        packed = packed.at[:, d + h + 1].set(
+            ((seg_p >> 8) & 0xFF).astype(jnp.bfloat16)
+        )
+        packed = packed.at[:, d + h + 2].set(
+            ((seg_p >> 16) & 0xFF).astype(jnp.bfloat16)
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -262,7 +298,7 @@ def _softmax_spmm_impl(
             (block_nodes, d), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, block_edges, c_width), jnp.float32),
+            pltpu.VMEM((2, block_edges, c_width), dt),
             pltpu.VMEM((num_heads, block_nodes), jnp.float32),
             pltpu.VMEM((num_heads, block_nodes), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -284,7 +320,7 @@ def _softmax_spmm_impl(
     return out[:num_nodes].astype(values.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def csr_softmax_spmm(
     scores: jax.Array,
     values: jax.Array,
@@ -294,6 +330,7 @@ def csr_softmax_spmm(
     block_nodes: int = BLOCK_NODES,
     block_edges: int = BLOCK_EDGES,
     max_chunks: Optional[int] = None,
+    stream_dtype: str = "f32",
 ) -> jax.Array:
     """Fused segment-softmax + weighted segment-sum (one Pallas kernel).
 
@@ -319,6 +356,7 @@ def csr_softmax_spmm(
     return _softmax_spmm_impl(
         scores, values, segments, bounds,
         num_nodes, h, block_nodes, block_edges, max_chunks,
+        stream_dtype=stream_dtype,
     )
 
 
@@ -335,14 +373,14 @@ def _xla_attn_weights(scores, segments, num_nodes):
     return ex / (denom[segments] + 1e-16)
 
 
-def _fwd(scores, values, segments, bounds, num_nodes, bn, be, mc):
+def _fwd(scores, values, segments, bounds, num_nodes, bn, be, mc, sd):
     out = csr_softmax_spmm(
-        scores, values, segments, bounds, num_nodes, bn, be, mc
+        scores, values, segments, bounds, num_nodes, bn, be, mc, sd
     )
     return out, (scores, values, segments)
 
 
-def _bwd(num_nodes, bn, be, mc, res, g):
+def _bwd(num_nodes, bn, be, mc, sd, res, g):
     scores, values, segments = res
     e, h = scores.shape
     d = values.shape[1]
@@ -380,8 +418,18 @@ def csr_sparse_attention(
     block_nodes: int = BLOCK_NODES,
     block_edges: int = BLOCK_EDGES,
     max_chunks: Optional[int] = None,
+    stream_dtype: str = "f32",
 ) -> jax.Array:
     """Sparse graph attention with the fused Pallas softmax+SpMM kernel.
+
+    ``stream_dtype="bf16"`` (EXPERIMENTAL) halves the kernel's HBM traffic by
+    streaming values+scores in bfloat16 (segment ids travel as exact base-256
+    value digits either way; accumulation stays f32). The result equals the
+    XLA path fed bf16-rounded inputs to 1e-6; the deviation from f32 is the
+    input rounding itself, amplified through exp() on sharp softmax rows.
+    Measured NO speedup on the current chip (the kernel is compute-bound
+    there, not DMA-bound) — kept as the fast path for bandwidth-starved
+    parts.
 
     Drop-in for ``ops.attention.sparse_graph_attention`` on a CSR-sorted edge
     list: ``segments`` (ascending) is the query/softmax side and
@@ -411,6 +459,7 @@ def csr_sparse_attention(
         scores = jnp.where(edge_mask[:, None], scores, _NEG)
         seg = jnp.where(edge_mask, seg, n)
     out = csr_softmax_spmm(
-        scores, v_e, seg, bounds, n, block_nodes, block_edges, max_chunks
+        scores, v_e, seg, bounds, n, block_nodes, block_edges, max_chunks,
+        stream_dtype,
     )
     return out.reshape(n, h, dh).astype(q.dtype)
