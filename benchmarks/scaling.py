@@ -1,0 +1,158 @@
+"""Scaling-efficiency harness: DP (weak scaling) and edge-partitioned graph
+parallelism (strong scaling) vs device count.
+
+The reference has no distributed support at all (SURVEY.md §2.4), so there is
+no reference number to compare against — the target is the BASELINE.json
+north star: >= 80% per-device efficiency as devices grow.
+
+Run on a CPU-simulated mesh (relative efficiency only — CPU "devices" share
+cores, so absolute numbers mean nothing and even the relative curve is
+pessimistic):
+
+    PYTHONPATH=/root/repo JAX_PLATFORMS=cpu \
+      XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python benchmarks/scaling.py
+
+On a real pod slice the same script measures honest scaling (the chained-step
+methodology of BASELINE.md): weak-scaling DP efficiency is
+``t_step(1 device) / t_step(n devices)`` at fixed per-device batch; strong
+scaling for one large partitioned mesh is ``t(1) / (n * t(n))``.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from graphphysics_tpu.core.graph import pad_graph_np, stack_graphs
+from graphphysics_tpu.models.simulator import Simulator, SimulatorConfig
+from graphphysics_tpu.models.processors import EncodeProcessDecode
+from graphphysics_tpu.parallel import (
+    make_dp_train_step,
+    make_graph_parallel_train_step,
+    make_mesh,
+    partition_graph_halo_np,
+    shard_batch,
+)
+
+
+def _graph(n, e, f=4, seed=0):
+    r = np.random.default_rng(seed)
+    x = r.normal(size=(n, f)).astype(np.float32)
+    x[:, 2] = 0  # node type NORMAL
+    pos = r.normal(size=(n, 2)).astype(np.float32)
+    src = np.repeat(np.arange(n, dtype=np.int64), e // n)
+    dst = np.clip(src + r.integers(-8, 9, e), 0, n - 1)
+    y = r.normal(size=(n, 2)).astype(np.float32)
+    return pad_graph_np(
+        x, pos, src.astype(np.int32), dst.astype(np.int32), n, e,
+        edge_attr=r.normal(size=(e, 3)).astype(np.float32),
+        y=y, node_type_index=2,
+    )
+
+
+def _sim(mp=4, hidden=32):
+    cfg = SimulatorConfig(
+        node_input_size=2 + 9, edge_input_size=3, output_size=2,
+        feature_index_start=0, feature_index_end=2,
+        output_index_start=0, output_index_end=2, node_type_index=2,
+    )
+    model = EncodeProcessDecode(
+        message_passing_num=mp, node_input_size=2 + 9, edge_input_size=3,
+        output_size=2, hidden_size=hidden,
+    )
+    return Simulator(config=cfg, model=model)
+
+
+def _time_chained(step, state, batch, iters=20, warmup=3):
+    for _ in range(warmup):
+        state, loss = step(state, batch)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, batch)
+    jax.block_until_ready(loss)
+    return (time.perf_counter() - t0) / iters
+
+
+def dp_weak_scaling(per_device_graphs=1, n=1024, e=6144, device_counts=None):
+    """Fixed per-device batch; efficiency = t(1)/t(k)."""
+    sim = _sim()
+    tx = optax.adamw(1e-3)
+    results = {}
+    device_counts = device_counts or [1, 2, 4, 8]
+    for nd in device_counts:
+        if nd > len(jax.devices()):
+            break
+        mesh = make_mesh(nd)
+        graphs = [_graph(n, e, seed=i) for i in range(nd * per_device_graphs)]
+        batch = stack_graphs(graphs)
+        gb = shard_batch(batch, mesh)
+        from graphphysics_tpu.core.graph import flatten_batched_graph
+
+        variables = sim.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)},
+            flatten_batched_graph(jax.tree_util.tree_map(jnp.asarray, batch)),
+        )
+        state = {
+            "params": variables["params"],
+            "normalizer": variables["normalizer"],
+            "opt_state": tx.init(variables["params"]),
+            "step": jnp.zeros((), jnp.int32),
+        }
+        step = make_dp_train_step(sim, tx, [0, 5], mesh)
+        dt = _time_chained(step, state, gb)
+        results[nd] = dt
+        print(f"DP weak scaling {nd} dev: {dt*1e3:.2f} ms/step "
+              f"(eff {results[1]/dt:.2%})")
+    return {
+        "ms_per_step": {k: v * 1e3 for k, v in results.items()},
+        "efficiency": {k: results[1] / v for k, v in results.items()},
+    }
+
+
+def halo_strong_scaling(n=8192, e=49152, device_counts=None):
+    """One large mesh partitioned across devices; efficiency = t(1)/(k*t(k))."""
+    sim = _sim()
+    tx = optax.adamw(1e-3)
+    g = _graph(n, e, seed=0)
+    results = {}
+    device_counts = device_counts or [1, 2, 4, 8]
+    for nd in device_counts:
+        if nd > len(jax.devices()):
+            break
+        mesh = make_mesh(nd, axis_names=("graph",))
+        parts = partition_graph_halo_np(g, nd, axis_name="graph")
+        variables = sim.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)}, g
+        )
+        state = {
+            "params": variables["params"],
+            "normalizer": variables["normalizer"],
+            "opt_state": tx.init(variables["params"]),
+            "step": jnp.zeros((), jnp.int32),
+        }
+        step = make_graph_parallel_train_step(sim, tx, [0, 5], mesh)
+        gb = shard_batch(parts, mesh, axis_name="graph")
+        dt = _time_chained(step, state, gb)
+        results[nd] = dt
+        print(f"halo strong scaling {nd} dev: {dt*1e3:.2f} ms/step "
+              f"(eff {results[1]/(nd*dt):.2%})")
+    return {
+        "ms_per_step": {k: v * 1e3 for k, v in results.items()},
+        "efficiency": {k: results[1] / (k * v) for k, v in results.items()},
+    }
+
+
+if __name__ == "__main__":
+    print(f"devices: {len(jax.devices())} x {jax.devices()[0].platform}")
+    out = {
+        "devices": len(jax.devices()),
+        "platform": jax.devices()[0].platform,
+        "dp_weak": dp_weak_scaling(),
+        "halo_strong": halo_strong_scaling(),
+    }
+    print(json.dumps(out, indent=2, default=str))
