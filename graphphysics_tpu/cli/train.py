@@ -47,6 +47,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--save_every_n_steps", type=int, default=None,
                    help="also checkpoint mid-epoch every N steps (preemption "
                         "safety; SIGTERM/SIGINT always checkpoint before exit)")
+    p.add_argument("--checkpoint_backend", default="msgpack",
+                   choices=["msgpack", "orbax", "orbax-async"],
+                   help="orbax-async: periodic saves don't stall the step "
+                        "loop; orbax coordinates multi-host sharded state")
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace of a few train steps "
                         "here (view with TensorBoard/xprof)")
@@ -179,6 +183,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         extra_logger=extra_logger,
         save_every_n_steps=args.save_every_n_steps,
+        checkpoint_backend=args.checkpoint_backend,
         profile_dir=args.profile_dir,
         profile_start_step=args.profile_start_step,
         profile_num_steps=args.profile_num_steps,

@@ -8,6 +8,12 @@ flattened leaves (robust to custom pytree nodes like ``NormalizerState``),
 restored against a template with the same treedef, plus a JSON metadata
 sidecar. The normalizer statistics surviving checkpointing is load-bearing
 (reference ``layers.py:300-313``).
+
+Backends: ``"msgpack"`` (default — one portable file, understood by the
+reference-checkpoint importer machinery) or ``"orbax"`` / ``"orbax-async"``
+(directory-based; async saves return immediately so periodic mid-epoch
+checkpoints don't stall the step loop, and orbax natively coordinates
+multi-host sharded state). ``load_checkpoint`` auto-detects all formats.
 """
 
 from __future__ import annotations
@@ -20,11 +26,51 @@ import jax
 import numpy as np
 from flax.serialization import msgpack_restore, msgpack_serialize
 
+_ASYNC_CKPTR = None  # lazily-created module-global orbax AsyncCheckpointer
 
-def save_checkpoint(path: str, state: Any, metadata: Optional[dict] = None):
+
+def _orbax(async_: bool):
+    import orbax.checkpoint as ocp
+
+    if async_:
+        global _ASYNC_CKPTR
+        if _ASYNC_CKPTR is None:
+            _ASYNC_CKPTR = ocp.AsyncCheckpointer(
+                ocp.CompositeCheckpointHandler()
+            )
+        return ocp, _ASYNC_CKPTR
+    return ocp, ocp.Checkpointer(ocp.CompositeCheckpointHandler())
+
+
+def wait_for_async_saves() -> None:
+    """Block until every in-flight ``orbax-async`` save has committed (call
+    before process exit; the Trainer does this at the end of ``fit``)."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
+def save_checkpoint(
+    path: str,
+    state: Any,
+    metadata: Optional[dict] = None,
+    backend: str = "msgpack",
+):
     """Atomic (write-temp + rename) save: a preemption mid-write never
     corrupts the previous checkpoint — the recovery story the reference
     lacks (its failure handling is manual restart, SURVEY.md §5)."""
+    if backend in ("orbax", "orbax-async"):
+        ocp, ckptr = _orbax(backend == "orbax-async")
+        ckptr.save(
+            os.path.abspath(path),
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                metadata=ocp.args.JsonSave(metadata or {}),
+            ),
+            force=True,
+        )
+        return
+    if backend != "msgpack":
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
     leaves = jax.tree_util.tree_leaves(state)
     payload = {str(i): np.asarray(leaf) for i, leaf in enumerate(leaves)}
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -57,6 +103,15 @@ def load_checkpoint(path: str, template: Any) -> Any:
     are taken from the torch file; optimizer state / step counters keep the
     template's (fresh) values.
     """
+    if os.path.isdir(path):  # orbax checkpoint directory
+        wait_for_async_saves()  # an in-flight async save may be this path
+        ocp, ckptr = _orbax(async_=False)
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
+        )
+        return restored["state"]
+
     if is_torch_checkpoint(path):
         from graphphysics_tpu.utils.torch_import import import_reference_checkpoint
 
@@ -82,6 +137,14 @@ def load_checkpoint(path: str, template: Any) -> Any:
 
 
 def load_metadata(path: str) -> dict:
+    if os.path.isdir(path):  # orbax checkpoint directory
+        wait_for_async_saves()
+        ocp, ckptr = _orbax(async_=False)
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            args=ocp.args.Composite(metadata=ocp.args.JsonRestore()),
+        )
+        return dict(restored["metadata"] or {})
     meta_path = path + ".meta.json"
     if os.path.exists(meta_path):
         with open(meta_path) as f:

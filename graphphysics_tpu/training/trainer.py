@@ -27,6 +27,7 @@ from graphphysics_tpu.training.checkpoint import (
     load_checkpoint,
     load_metadata,
     save_checkpoint,
+    wait_for_async_saves,
 )
 from graphphysics_tpu.training.parse_parameters import get_simulator
 from graphphysics_tpu.training.rollout import jitted_rollout, rollout_rmse
@@ -57,6 +58,7 @@ class Trainer:
         data_parallel: bool = False,
         num_devices: Optional[int] = None,
         save_every_n_steps: Optional[int] = None,
+        checkpoint_backend: str = "msgpack",
         profile_dir: Optional[str] = None,
         profile_start_step: int = 10,
         profile_num_steps: int = 3,
@@ -80,6 +82,10 @@ class Trainer:
         self.data_parallel = data_parallel
         self.num_devices = num_devices
         self.save_every_n_steps = save_every_n_steps
+        # "msgpack" (one portable file) | "orbax" | "orbax-async" (periodic
+        # mid-epoch saves return after the device->host copy; disk writes
+        # happen in the background)
+        self.checkpoint_backend = checkpoint_backend
         # jax.profiler trace of steps [start, start+num) (reference has no
         # profiler integration, SURVEY.md §5; view with TensorBoard/xprof).
         # NB through the tunnel per-op times carry ~0.7 ms/op overhead —
@@ -304,6 +310,7 @@ class Trainer:
         finally:
             self._stop_profile()
             self._restore_signal_handlers(prev_handlers)
+            wait_for_async_saves()
 
     def _maybe_profile(self, step: int) -> None:
         """Start/stop the jax.profiler trace window around the configured
@@ -509,7 +516,10 @@ class Trainer:
         }
         if batch_offset is not None:
             metadata["batch_offset"] = int(batch_offset)
-        save_checkpoint(path, self.state, metadata=metadata)
+        save_checkpoint(
+            path, self.state, metadata=metadata,
+            backend=self.checkpoint_backend,
+        )
 
     def _log(self, epoch: int, step: int, metrics: Dict[str, float]):
         if self.metrics is not None:

@@ -319,3 +319,32 @@ def test_fit_gmm_head(cylinder_env):
     history = trainer.fit(loader, val_dataset=val_ds, num_epochs=1)
     assert np.isfinite(history["train_loss"][0])
     assert np.isfinite(history["val_rmse"][0])
+
+
+@pytest.mark.parametrize("backend", ["orbax", "orbax-async"])
+def test_orbax_checkpoint_backend_roundtrip(cylinder_env, tmp_path, backend):
+    """Directory-based orbax checkpoints: fit + resume metadata + state
+    restore, auto-detected by load_checkpoint."""
+    from graphphysics_tpu.training.checkpoint import (
+        load_checkpoint,
+        load_metadata,
+        wait_for_async_saves,
+    )
+
+    tmp, param = cylinder_env
+    trainer, loader, _ = _make(param, tmp_path / backend)
+    trainer.checkpoint_backend = backend
+    trainer.checkpoint_name = "state.orbax"
+    trainer.fit(loader, num_epochs=1)
+    wait_for_async_saves()
+    ckpt = str(tmp_path / backend / "ckpt" / "state.orbax")
+    assert os.path.isdir(ckpt)
+    assert load_metadata(ckpt)["epoch"] == 1
+
+    trainer2, loader2, _ = _make(param, tmp_path / backend)
+    trainer2.init_state(loader2.peek(), num_steps=10)
+    restored = load_checkpoint(ckpt, trainer2.state)
+    assert int(restored["step"]) == int(trainer.state["step"])
+    for a, b in zip(jax_leaves(restored["params"]),
+                    jax_leaves(trainer.state["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
