@@ -16,6 +16,7 @@ collectives over ICI:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Sequence
 
 import jax
@@ -176,7 +177,7 @@ def _make_sharded_train_step(
         check_vma=False,
     )
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state, shard):
         new_params, new_norm, new_opt, loss = sharded(
             state["params"], state["normalizer"], state["opt_state"], shard

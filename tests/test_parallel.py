@@ -79,9 +79,9 @@ def test_dp_step_matches_single_device():
         sim, tx, [NodeType.NORMAL, NodeType.OUTFLOW], mesh
     )
     batch = shard_batch(stacked, mesh)
-    new_state, loss = step(state, batch)
-
+    # reference first: the DP step donates its state buffers
     ref_params, ref_norm, ref_loss = _single_device_step(sim, tx, state, stacked)
+    new_state, loss = step(state, batch)
 
     np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
     for a, b in zip(
