@@ -30,6 +30,7 @@ import optax
 from graphphysics_tpu.core.graph import pad_graph_np, stack_graphs
 from graphphysics_tpu.models.simulator import Simulator, SimulatorConfig
 from graphphysics_tpu.models.processors import EncodeProcessDecode
+from graphphysics_tpu.utils.profiling import time_chained_steps
 from graphphysics_tpu.parallel import (
     make_dp_train_step,
     make_graph_parallel_train_step,
@@ -44,7 +45,8 @@ def _graph(n, e, f=4, seed=0):
     x = r.normal(size=(n, f)).astype(np.float32)
     x[:, 2] = 0  # node type NORMAL
     pos = r.normal(size=(n, 2)).astype(np.float32)
-    src = np.repeat(np.arange(n, dtype=np.int64), e // n)
+    # balanced sender coverage for ANY (n, e), not just e % n == 0
+    src = (np.arange(e, dtype=np.int64) * n) // e
     dst = np.clip(src + r.integers(-8, 9, e), 0, n - 1)
     y = r.normal(size=(n, 2)).astype(np.float32)
     return pad_graph_np(
@@ -68,14 +70,9 @@ def _sim(mp=4, hidden=32):
 
 
 def _time_chained(step, state, batch, iters=20, warmup=3):
-    for _ in range(warmup):
-        state, loss = step(state, batch)
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, loss = step(state, batch)
-    jax.block_until_ready(loss)
-    return (time.perf_counter() - t0) / iters
+    # the canonical chained-step methodology (see CLAUDE.md measurement notes)
+    dt, _ = time_chained_steps(step, state, batch, iters=iters, warmup=warmup)
+    return dt
 
 
 def dp_weak_scaling(per_device_graphs=1, n=1024, e=6144, device_counts=None):
@@ -106,11 +103,13 @@ def dp_weak_scaling(per_device_graphs=1, n=1024, e=6144, device_counts=None):
         step = make_dp_train_step(sim, tx, [0, 5], mesh)
         dt = _time_chained(step, state, gb)
         results[nd] = dt
+        base = min(results)  # efficiency vs the smallest measured count
         print(f"DP weak scaling {nd} dev: {dt*1e3:.2f} ms/step "
-              f"(eff {results[1]/dt:.2%})")
+              f"(eff {results[base]/dt:.2%})")
+    base = min(results)
     return {
         "ms_per_step": {k: v * 1e3 for k, v in results.items()},
-        "efficiency": {k: results[1] / v for k, v in results.items()},
+        "efficiency": {k: results[base] / v for k, v in results.items()},
     }
 
 
@@ -139,11 +138,15 @@ def halo_strong_scaling(n=8192, e=49152, device_counts=None):
         gb = shard_batch(parts, mesh, axis_name="graph")
         dt = _time_chained(step, state, gb)
         results[nd] = dt
+        base = min(results)  # efficiency vs the smallest measured count
         print(f"halo strong scaling {nd} dev: {dt*1e3:.2f} ms/step "
-              f"(eff {results[1]/(nd*dt):.2%})")
+              f"(eff {base*results[base]/(nd*dt):.2%})")
+    base = min(results)
     return {
         "ms_per_step": {k: v * 1e3 for k, v in results.items()},
-        "efficiency": {k: results[1] / (k * v) for k, v in results.items()},
+        "efficiency": {
+            k: base * results[base] / (k * v) for k, v in results.items()
+        },
     }
 
 

@@ -27,6 +27,7 @@ import numpy as np
 from flax.serialization import msgpack_restore, msgpack_serialize
 
 _ASYNC_CKPTR = None  # lazily-created module-global orbax AsyncCheckpointer
+_PENDING_SWAPS: list = []  # (staged_dir, final_dir) awaiting async commit
 
 
 def _orbax(async_: bool):
@@ -42,11 +43,54 @@ def _orbax(async_: bool):
     return ocp, ocp.Checkpointer(ocp.CompositeCheckpointHandler())
 
 
+def require_backend(backend: str) -> None:
+    """Validate a checkpoint backend up front (the Trainer calls this in
+    ``__init__``) so a missing optional orbax dependency fails at startup,
+    not after the first epoch of compute."""
+    if backend in ("orbax", "orbax-async"):
+        import orbax.checkpoint  # noqa: F401
+    elif backend != "msgpack":
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
+
+
+def _swap_into_place(staged: str, final: str) -> None:
+    """Promote a fully-committed staged checkpoint dir to the live path.
+    The only window where ``final`` is missing leaves a complete ``staged``
+    (or ``.old``) dir behind, which ``_resolve_orbax_dir`` recovers."""
+    import shutil
+
+    old = final + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(final):
+        os.rename(final, old)
+    os.rename(staged, final)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def wait_for_async_saves() -> None:
-    """Block until every in-flight ``orbax-async`` save has committed (call
-    before process exit; the Trainer does this at the end of ``fit``)."""
+    """Block until every in-flight ``orbax-async`` save has committed and
+    swap the staged dirs live (call before process exit; the Trainer does
+    this at the end of ``fit``)."""
     if _ASYNC_CKPTR is not None:
         _ASYNC_CKPTR.wait_until_finished()
+    while _PENDING_SWAPS:
+        staged, final = _PENDING_SWAPS.pop(0)
+        if os.path.isdir(staged):
+            _swap_into_place(staged, final)
+
+
+def _resolve_orbax_dir(path: str) -> Optional[str]:
+    """Newest complete checkpoint dir for ``path``: a committed-but-unswapped
+    ``.next`` stage wins (it is strictly newer), then the live path, then a
+    ``.old`` left by a crash between the two renames. Orbax commits a
+    directory only by renaming its internal tmp into place, so a dir
+    existing at any of these names is complete."""
+    for cand in (path + ".next", path, path + ".old"):
+        if os.path.isdir(cand):
+            return cand
+    return None
 
 
 def save_checkpoint(
@@ -55,19 +99,35 @@ def save_checkpoint(
     metadata: Optional[dict] = None,
     backend: str = "msgpack",
 ):
-    """Atomic (write-temp + rename) save: a preemption mid-write never
-    corrupts the previous checkpoint — the recovery story the reference
-    lacks (its failure handling is manual restart, SURVEY.md §5)."""
+    """Atomic save: a preemption mid-write never corrupts the previous
+    checkpoint — the recovery story the reference lacks (its failure
+    handling is manual restart, SURVEY.md §5). msgpack: write-temp +
+    ``os.replace``. orbax: stage into ``path.next`` (orbax itself finalizes
+    by rename), then swap the stage live — never ``force=True`` on the live
+    path, which would rmtree the previous checkpoint before the new one
+    commits."""
     if backend in ("orbax", "orbax-async"):
+        import shutil
+
         ocp, ckptr = _orbax(backend == "orbax-async")
+        final = os.path.abspath(path)
+        staged = final + ".next"
+        if backend == "orbax-async":
+            # drain the previous in-flight save before reusing the stage
+            wait_for_async_saves()
+        if os.path.exists(staged):
+            shutil.rmtree(staged)  # stale stage from a crashed run
         ckptr.save(
-            os.path.abspath(path),
+            staged,
             args=ocp.args.Composite(
                 state=ocp.args.StandardSave(state),
                 metadata=ocp.args.JsonSave(metadata or {}),
             ),
-            force=True,
         )
+        if backend == "orbax-async":
+            _PENDING_SWAPS.append((staged, final))
+        else:
+            _swap_into_place(staged, final)
         return
     if backend != "msgpack":
         raise ValueError(f"unknown checkpoint backend {backend!r}")
@@ -103,11 +163,12 @@ def load_checkpoint(path: str, template: Any) -> Any:
     are taken from the torch file; optimizer state / step counters keep the
     template's (fresh) values.
     """
-    if os.path.isdir(path):  # orbax checkpoint directory
-        wait_for_async_saves()  # an in-flight async save may be this path
+    wait_for_async_saves()  # an in-flight async save may be this path
+    orbax_dir = _resolve_orbax_dir(path)
+    if orbax_dir is not None:  # orbax checkpoint directory
         ocp, ckptr = _orbax(async_=False)
         restored = ckptr.restore(
-            os.path.abspath(path),
+            os.path.abspath(orbax_dir),
             args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
         )
         return restored["state"]
@@ -137,11 +198,12 @@ def load_checkpoint(path: str, template: Any) -> Any:
 
 
 def load_metadata(path: str) -> dict:
-    if os.path.isdir(path):  # orbax checkpoint directory
-        wait_for_async_saves()
+    wait_for_async_saves()
+    orbax_dir = _resolve_orbax_dir(path)
+    if orbax_dir is not None:  # orbax checkpoint directory
         ocp, ckptr = _orbax(async_=False)
         restored = ckptr.restore(
-            os.path.abspath(path),
+            os.path.abspath(orbax_dir),
             args=ocp.args.Composite(metadata=ocp.args.JsonRestore()),
         )
         return dict(restored["metadata"] or {})

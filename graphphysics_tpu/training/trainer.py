@@ -24,8 +24,10 @@ from graphphysics_tpu.core.graph import Graph, stack_graphs
 from graphphysics_tpu.core.nodetype import NodeType
 from graphphysics_tpu.training import losses as losses_mod
 from graphphysics_tpu.training.checkpoint import (
+    _resolve_orbax_dir,
     load_checkpoint,
     load_metadata,
+    require_backend,
     save_checkpoint,
     wait_for_async_saves,
 )
@@ -72,6 +74,8 @@ class Trainer:
         self.previous_data_start = previous_data_start
         self.previous_data_end = previous_data_end
         self.checkpoint_dir = checkpoint_dir
+        if checkpoint_backend != "msgpack" and checkpoint_name == "state.msgpack":
+            checkpoint_name = "state.orbax"  # directory, not a msgpack file
         self.checkpoint_name = checkpoint_name
         self.metrics = CSVMetricsLogger(metrics_path) if metrics_path else None
         self.rollout_dir = rollout_dir
@@ -86,6 +90,8 @@ class Trainer:
         # mid-epoch saves return after the device->host copy; disk writes
         # happen in the background)
         self.checkpoint_backend = checkpoint_backend
+        require_backend(checkpoint_backend)  # missing orbax fails NOW, not
+        # after the first epoch of compute
         # jax.profiler trace of steps [start, start+num) (reference has no
         # profiler integration, SURVEY.md §5; view with TensorBoard/xprof).
         # NB through the tunnel per-op times carry ~0.7 ms/op overhead —
@@ -94,6 +100,8 @@ class Trainer:
         self.profile_start_step = profile_start_step
         self.profile_num_steps = profile_num_steps
         self._trace_active = False
+        self._trace_done = False
+        self._trace_started_at = 0
         self.mesh = None
         # preemption handling (reference has none, SURVEY.md §5): a SIGTERM/
         # SIGINT during fit() requests a checkpoint at the next step boundary
@@ -232,7 +240,10 @@ class Trainer:
         if self.state is None:
             self.init_state(train_loader.peek(), num_steps)
 
-        if resume_from and os.path.exists(resume_from):
+        if resume_from and (
+            os.path.exists(resume_from)
+            or _resolve_orbax_dir(resume_from) is not None
+        ):
             self.state = load_checkpoint(resume_from, self.state)
             meta = load_metadata(resume_from)
             start_epoch = int(meta.get("epoch", 0))
@@ -315,14 +326,17 @@ class Trainer:
     def _maybe_profile(self, step: int) -> None:
         """Start/stop the jax.profiler trace window around the configured
         steps (called just before dispatching ``step``)."""
-        if not self.profile_dir:
+        if not self.profile_dir or self._trace_done:
             return
-        if not self._trace_active and step == self.profile_start_step:
+        # >= not ==: a resumed run's step counter starts past the configured
+        # start step; trace the first profile_num_steps dispatched after it
+        if not self._trace_active and step >= self.profile_start_step:
             jax.profiler.start_trace(self.profile_dir)
             self._trace_active = True
+            self._trace_started_at = step
         elif (
             self._trace_active
-            and step >= self.profile_start_step + self.profile_num_steps
+            and step >= self._trace_started_at + self.profile_num_steps
         ):
             self._stop_profile()
 
@@ -331,6 +345,7 @@ class Trainer:
             jax.block_until_ready(jax.tree_util.tree_leaves(self.state)[0])
             jax.profiler.stop_trace()
             self._trace_active = False
+            self._trace_done = True
             print(f"[trainer] profiler trace written to {self.profile_dir}")
 
     def request_interrupt(self) -> None:

@@ -325,6 +325,7 @@ def test_fit_gmm_head(cylinder_env):
 def test_orbax_checkpoint_backend_roundtrip(cylinder_env, tmp_path, backend):
     """Directory-based orbax checkpoints: fit + resume metadata + state
     restore, auto-detected by load_checkpoint."""
+    pytest.importorskip("orbax.checkpoint")
     from graphphysics_tpu.training.checkpoint import (
         load_checkpoint,
         load_metadata,
@@ -348,3 +349,42 @@ def test_orbax_checkpoint_backend_roundtrip(cylinder_env, tmp_path, backend):
     for a, b in zip(jax_leaves(restored["params"]),
                     jax_leaves(trainer.state["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_staged_save_never_clobbers_live_checkpoint(cylinder_env, tmp_path):
+    """The orbax backends stage into ``path.next`` and swap — a second save
+    never rmtree's the live checkpoint before the new one commits, and a
+    crash between the two swap renames (live missing, ``.next``/``.old``
+    present) still resolves to a complete checkpoint."""
+    pytest.importorskip("orbax.checkpoint")
+    import shutil
+
+    from graphphysics_tpu.training.checkpoint import (
+        load_checkpoint,
+        load_metadata,
+        save_checkpoint,
+    )
+
+    tmp, param = cylinder_env
+    trainer, loader, _ = _make(param, tmp_path / "stage")
+    trainer.init_state(loader.peek(), num_steps=10)
+    ckpt = str(tmp_path / "stage" / "state.orbax")
+
+    save_checkpoint(ckpt, trainer.state, metadata={"epoch": 1}, backend="orbax")
+    save_checkpoint(ckpt, trainer.state, metadata={"epoch": 2}, backend="orbax")
+    assert os.path.isdir(ckpt)
+    assert not os.path.exists(ckpt + ".next")
+    assert not os.path.exists(ckpt + ".old")
+    assert load_metadata(ckpt)["epoch"] == 2
+
+    # committed-but-unswapped stage (crash before the swap): newest wins
+    os.rename(ckpt, ckpt + ".next")
+    assert load_metadata(ckpt)["epoch"] == 2
+    restored = load_checkpoint(ckpt, trainer.state)
+    assert int(restored["step"]) == int(trainer.state["step"])
+    os.rename(ckpt + ".next", ckpt)
+
+    # crash between rename(live -> .old) and rename(.next -> live)
+    os.rename(ckpt, ckpt + ".old")
+    assert load_metadata(ckpt)["epoch"] == 2
+    shutil.rmtree(ckpt + ".old")
