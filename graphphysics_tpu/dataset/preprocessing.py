@@ -151,15 +151,21 @@ def random_3d_rotate(
     sample: RawSample,
     rng: np.random.Generator,
     feature_indices: Optional[List[Tuple[int, int]]] = None,
+    angles: Optional[Tuple[float, float, float]] = None,
 ) -> RawSample:
     """Random 3D rotation augmentation of pos, selected xyz feature slices,
     and the first 3 target columns (reference ``Random3DRotate``,
-    ``preprocessing.py:277-366``, including its rotation-matrix convention)."""
+    ``preprocessing.py:277-366``, including its rotation-matrix convention).
+    ``angles`` (alpha, beta, gamma) pins the rotation (deterministic
+    augmentation / tests — the analog of the reference's monkey-patched
+    ``_get_random_angles``)."""
     feature_indices = feature_indices or []
     for s, e in feature_indices:
         if e - s != 3:
             raise ValueError("each rotated feature range must span 3 columns")
-    alpha, beta, gamma = rng.uniform(-math.pi, math.pi, size=3)
+    alpha, beta, gamma = (
+        angles if angles is not None else rng.uniform(-math.pi, math.pi, size=3)
+    )
     ca, sa = math.cos(alpha), math.sin(alpha)
     cb, sb = math.cos(beta), math.sin(beta)
     cg, sg = math.cos(gamma), math.sin(gamma)

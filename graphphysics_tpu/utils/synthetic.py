@@ -142,6 +142,126 @@ def write_plate_h5(dirpath: str, num_traj=1, steps=8, n=5):
     return h5_path, meta_path
 
 
+def tet_box(nx: int, ny: int, nz: int, extent=(1.0, 1.0, 1.0)):
+    """Structured tetra mesh on [0,ex]x[0,ey]x[0,ez] with independent
+    per-axis resolution (``tet_grid`` generalized): returns
+    (points [N,3] float32, tets [T,4] int32)."""
+    ex, ey, ez = extent
+    xs, ys, zs = np.meshgrid(
+        np.linspace(0, ex, nx), np.linspace(0, ey, ny), np.linspace(0, ez, nz),
+        indexing="ij",
+    )
+    points = np.stack([xs.ravel(), ys.ravel(), zs.ravel()], axis=1).astype(
+        np.float32
+    )
+    tets = []
+
+    def vid(i, j, k):
+        return (i * ny + j) * nz + k
+
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            for k in range(nz - 1):
+                v = [
+                    vid(i + a, j + b, k + c)
+                    for a in (0, 1)
+                    for b in (0, 1)
+                    for c in (0, 1)
+                ]
+                for t in ([0, 1, 3, 7], [0, 1, 5, 7], [0, 4, 5, 7],
+                          [0, 2, 3, 7], [0, 2, 6, 7], [0, 4, 6, 7]):
+                    tets.append([v[t[0]], v[t[1]], v[t[2]], v[t[3]]])
+    return points, np.array(tets, np.int32)
+
+
+def write_plate_press_h5(
+    dirpath: str,
+    num_traj: int = 4,
+    steps: int = 40,
+    nx: int = 10,
+    nz: int = 3,
+    seed: int = 0,
+):
+    """DeformingPlate-like *press* dataset: a rigid punch (OBSTACLE nodes)
+    descends into a deformable slab whose bottom face is fixed (HANDLE).
+    The slab's world_pos deforms by a Gaussian indentation that grows with
+    punch contact depth — nonlinear in time and spatially varying, so the
+    one-step world_pos delta is only predictable from the obstacle's
+    next-step displacement feature + world edges (the exact input pipeline
+    of the reference's DeformingPlate task, ``preprocessing.py:49-174``).
+
+    Punch center (cx, cy) and descent speed are randomized per trajectory.
+    Same h5/meta schema as ``write_plate_h5`` (``target_features:
+    ["world_pos"]``); use world-edge radius >= 0.08.
+    """
+    rng = np.random.default_rng(seed)
+    os.makedirs(dirpath, exist_ok=True)
+
+    z_top = 0.2
+    plate_pts, plate_tets = tet_box(nx, nx, nz, extent=(1.0, 1.0, z_top))
+    punch_pts0, punch_tets = tet_box(3, 3, 2, extent=(0.16, 0.16, 0.05))
+
+    n_plate = len(plate_pts)
+    points = np.concatenate([plate_pts, punch_pts0], axis=0)
+    tets = np.concatenate([plate_tets, punch_tets + n_plate], axis=0)
+
+    nt = np.full(len(points), int(NodeType.NORMAL), np.int32)
+    nt[: n_plate][plate_pts[:, 2] == 0.0] = int(NodeType.HANDLE)
+    nt[n_plate:] = int(NodeType.OBSTACLE)
+
+    h5_path = os.path.join(dirpath, "train.h5")
+    sigma = 0.18
+    with h5py.File(h5_path, "w") as f:
+        for tr in range(num_traj):
+            cx, cy = rng.uniform(0.3, 0.7, size=2)
+            speed = rng.uniform(0.0025, 0.004)
+            # punch starts just above the slab; contact begins 25% into the
+            # trajectory regardless of its length
+            z0 = z_top + 0.25 * speed * steps
+            punch = punch_pts0 + np.array(
+                [cx - 0.08, cy - 0.08, z0], np.float32
+            )
+            r2 = (plate_pts[:, 0] - cx) ** 2 + (plate_pts[:, 1] - cy) ** 2
+            bump = np.exp(-r2 / (2 * sigma**2)) * (plate_pts[:, 2] / z_top)
+
+            frames = []
+            for t in range(steps):
+                descent = speed * t
+                depth = max(0.0, descent - (z0 - z_top))  # contact depth
+                wp = np.concatenate(
+                    [
+                        plate_pts
+                        - np.outer(depth * bump, np.array([0, 0, 1.0])),
+                        punch - np.array([0, 0, descent]),
+                    ],
+                    axis=0,
+                )
+                frames.append(wp.astype(np.float32))
+
+            g = f.create_group(str(tr))
+            g["cells"] = np.repeat(tets[None], steps, axis=0)
+            g["mesh_pos"] = np.repeat(points[None], steps, axis=0)
+            g["node_type"] = np.repeat(nt[None, :, None], steps, axis=0)
+            g["world_pos"] = np.stack(frames)
+
+    meta = {
+        "dt": 0,
+        "features": {
+            "cells": {"type": "static", "shape": [steps, -1, 4], "dtype": "int32"},
+            "node_type": {"type": "static", "shape": [steps, -1, 1], "dtype": "int32"},
+            "mesh_pos": {"type": "static", "shape": [steps, -1, 3], "dtype": "float32"},
+            "world_pos": {"type": "dynamic", "shape": [steps, -1, 3], "dtype": "float32"},
+        },
+        "target_features": ["world_pos"],
+        "field_names": ["cells", "node_type", "mesh_pos", "world_pos"],
+        "trajectory_length": steps,
+    }
+    meta_path = os.path.join(dirpath, "meta.json")
+    with open(meta_path, "w") as fp:
+        json.dump(meta, fp)
+    return h5_path, meta_path
+
+
 def write_aneurysm_xdmf(dirpath: str, num_traj=2, steps=9, n=4):
     """Aneurysm-schema xdmf folder (tetra, Vitesse + wall_mask) + meta.json."""
     os.makedirs(dirpath, exist_ok=True)

@@ -329,3 +329,39 @@ def test_mixed_size_budget_scan(tmp_path):
     g_big = ds[ds.frames_per_trajectory]
     assert g_big.x.shape == g_small.x.shape
     assert g_big.senders.shape == g_small.senders.shape
+
+
+def test_plate_press_dataset(tmp_path):
+    """The press generator produces real deformation physics: HANDLE bottom
+    fixed, NORMAL plate nodes deform only after punch contact, and world
+    edges connect the punch to the plate."""
+    from graphphysics_tpu.utils.synthetic import write_plate_press_h5
+
+    h5_path, meta_path = write_plate_press_h5(
+        str(tmp_path), num_traj=1, steps=12, nx=8, nz=3, seed=1
+    )
+    wpp = {"world_pos_index_start": 0, "world_pos_index_end": 3,
+           "node_type_index": 6}
+    pre = build_preprocessing(world_pos_parameters={**wpp, "radius": 0.08})
+    ds = H5Dataset(h5_path=h5_path, meta_path=meta_path, preprocessing=pre,
+                   node_type_index=6, edge_headroom=2.0)
+
+    early, late = ds[0], ds[9]
+    for g, deformed in ((early, False), (late, True)):
+        n = int(g.node_mask.sum())
+        nt = g.x[:n, 6]
+        delta = g.y[:n] - g.x[:n, 0:3]
+        # bottom face never moves
+        assert np.abs(delta[nt == float(NodeType.HANDLE)]).max() == 0.0
+        # punch always descends
+        assert np.abs(delta[nt == float(NodeType.OBSTACLE)]).max() > 0
+        moved = np.abs(delta[nt == float(NodeType.NORMAL)]).max() > 0
+        assert moved == deformed
+    # punch <-> plate world edges exist near contact
+    g = late
+    n = int(g.node_mask.sum()); nt = g.x[:n, 6]
+    e = int(g.edge_mask.sum())
+    s, r = g.senders[:e], g.receivers[:e]
+    cross = ((nt[s] == float(NodeType.OBSTACLE)) & (nt[r] == float(NodeType.NORMAL))) | (
+        (nt[r] == float(NodeType.OBSTACLE)) & (nt[s] == float(NodeType.NORMAL)))
+    assert int(cross.sum()) > 0

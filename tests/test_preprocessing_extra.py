@@ -59,3 +59,20 @@ def test_min_distance_to_type(rng):
     nt = np.array([NodeType.WALL_BOUNDARY, NodeType.NORMAL, NodeType.NORMAL])
     d = min_distance_to_type(pos, nt, int(NodeType.WALL_BOUNDARY))
     np.testing.assert_allclose(d, [0.0, 1.0, 3.0], rtol=1e-6)
+
+
+def test_fixed_3d_rotate_matches_reference_convention(rng):
+    """90 deg around z with the reference's matrix layout (its
+    test_fixed_3d_rotate expectation): row-vector multiply by
+    [[cos, sin, 0], [-sin, cos, 0], [0, 0, 1]]."""
+    s = _sample3d(rng)
+    pos0, y0 = s.pos.copy(), s.y.copy()
+    feat0 = s.x[:, 0:3].copy()
+    out = random_3d_rotate(
+        s, rng, feature_indices=[(0, 3)], angles=(math.pi / 2, 0.0, 0.0)
+    )
+    m = np.array([[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
+                 np.float32)
+    np.testing.assert_allclose(out.pos, pos0 @ m, atol=1e-6)
+    np.testing.assert_allclose(out.x[:, 0:3], feat0 @ m, atol=1e-6)
+    np.testing.assert_allclose(out.y[:, 0:3], y0[:, 0:3] @ m, atol=1e-6)

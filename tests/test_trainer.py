@@ -388,3 +388,33 @@ def test_orbax_staged_save_never_clobbers_live_checkpoint(cylinder_env, tmp_path
     os.rename(ckpt, ckpt + ".old")
     assert load_metadata(ckpt)["epoch"] == 2
     shutil.rmtree(ckpt + ".old")
+
+
+def test_grph_combined_cli_dispatch(cylinder_env, tmp_path, monkeypatch):
+    """``grph train ...`` (and bare flags, reference setup.py:6 drop-in)
+    dispatch to the train CLI; ``grph predict`` reaches the predict CLI."""
+    tmp, param = cylinder_env
+    cfg_path = tmp_path / "cfg.json"
+    with open(cfg_path, "w") as f:
+        json.dump(param, f)
+    monkeypatch.chdir(tmp_path)
+    from graphphysics_tpu.cli.__main__ import main
+
+    rc = main([
+        "train",
+        "--training_parameters_path", str(cfg_path),
+        "--num_epochs", "1", "--batch_size", "2", "--warmup", "2",
+        "--val_trajectories", "1",
+    ])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "checkpoints" / "state.msgpack")
+
+    rc = main([
+        "predict",
+        "--training_parameters_path", str(cfg_path),
+        "--model_path", str(tmp_path / "checkpoints" / "state.msgpack"),
+        "--save_dir", str(tmp_path / "preds"),
+        "--max_trajectories", "1",
+    ])
+    assert rc == 0
+    assert any(f.endswith(".xdmf") for f in os.listdir(tmp_path / "preds"))
