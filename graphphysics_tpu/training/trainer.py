@@ -118,6 +118,7 @@ class Trainer:
         self._train_step = None
         self._val_traj_cache: Dict[int, Graph] = {}
         self._val_traj_cache_owner = None
+        self.last_val_loss: Optional[float] = None
 
     # ---------------------------------------------------------------- setup
 
@@ -306,14 +307,14 @@ class Trainer:
                     val_rmse = self.validate(val_dataset, epoch, val_trajectories)
                     history["val_rmse"].append(val_rmse)
                     msg += f" val_all_rollout_rmse={val_rmse:.5f}"
-                    self._log(
-                        epoch,
-                        int(self.state["step"]),
-                        {
-                            "train_loss_epoch": train_loss,
-                            "val_all_rollout_rmse": val_rmse,
-                        },
-                    )
+                    metrics = {
+                        "train_loss_epoch": train_loss,
+                        "val_all_rollout_rmse": val_rmse,
+                    }
+                    if self.last_val_loss is not None:
+                        metrics["val_loss"] = self.last_val_loss
+                        msg += f" val_loss={self.last_val_loss:.5f}"
+                    self._log(epoch, int(self.state["step"]), metrics)
                 print(msg)
 
                 self.save(epoch)
@@ -424,6 +425,8 @@ class Trainer:
             n_traj = min(n_traj, max_trajectories)
 
         total_se, total_cnt = 0.0, 0.0
+        vloss_sum, vloss_cnt = 0.0, 0
+        nti = self.sim.config.node_type_index
         rng = jax.random.key(self.seed + epoch)
         for traj in range(n_traj):
             frames = jax.device_put(self._stacked_trajectory(val_dataset, traj))
@@ -443,11 +446,24 @@ class Trainer:
             cnt = float(node_mask.sum()) * t * d
             total_se += float(rmse) ** 2 * cnt
             total_cnt += cnt
+            if self.K == 0:
+                # per-step masked L2 on the denormalized rollout predictions
+                # (reference "val_loss", lightning_module.py:225-232)
+                node_type = frames.x[0][:, nti].astype(jnp.int32)
+                step_losses = jax.vmap(
+                    lambda p, y: losses_mod.l2_loss(
+                        y, p, node_type, self.masks, node_valid=node_mask
+                    )
+                )(preds, targets)
+                vloss_sum += float(step_losses.sum())
+                vloss_cnt += int(step_losses.shape[0])
             if traj == 0:
                 if save_rollout and self.rollout_dir:
                     self._save_rollout_xdmf(val_dataset, traj, np.asarray(preds), epoch)
                 if self.plot_callback is not None:
                     self.plot_callback(self, val_dataset, epoch, np.asarray(preds))
+        # epoch-mean val_loss (None for GMM heads, as in the reference)
+        self.last_val_loss = vloss_sum / vloss_cnt if vloss_cnt else None
         return float(np.sqrt(total_se / max(total_cnt, 1.0)))
 
     def _save_rollout_xdmf(self, val_dataset, traj: int, preds: np.ndarray, epoch: int):

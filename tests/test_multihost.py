@@ -1,0 +1,90 @@
+"""REAL multi-host training test: two separate processes (4 CPU devices
+each) initialize ``jax.distributed``, build the global 8-device mesh, shard
+input per host through ``MultihostGraphLoader``, and run the DP train step
+with cross-process Gloo collectives — then the result is compared against
+the identical single-process 8-device run. This covers the multi-host path
+(SURVEY.md §2.4 item 3) the reference has no analog of, without TPU pod
+hardware."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_dp_matches_single_process(tmp_path):
+    port = _free_port()
+    env = {
+        **os.environ,
+        "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    }
+    # the workers set their own JAX_PLATFORMS/XLA_FLAGS before importing jax
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "_multihost_worker.py")
+    outs = [str(tmp_path / f"proc{p}.json") for p in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(p), "2", str(port), outs[p]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for p in range(2)
+    ]
+    logs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+
+    results = [json.load(open(o)) for o in outs]
+    # both hosts observe the same global psum-reduced losses
+    np.testing.assert_allclose(results[0]["losses"], results[1]["losses"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(results[0]["gp_losses"], results[1]["gp_losses"],
+                               rtol=1e-6)
+
+    # single-process 8-device reference on the same data, same GLOBAL batch
+    # order (process-major interleave: host p contributes indices [p::2])
+    import jax
+
+    from graphphysics_tpu.core.graph import stack_graphs
+    from graphphysics_tpu.parallel import make_mesh, shard_batch
+    from tests._multihost_common import make_graphs, make_setup
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8)
+    graphs = make_graphs(8)
+    order = [0, 2, 4, 6, 1, 3, 5, 7]
+    batch = shard_batch(stack_graphs([graphs[i] for i in order]), mesh)
+    _, _, state, step = make_setup(mesh)
+    ref_losses = []
+    for _ in range(2):
+        state, loss = step(state, batch)
+        ref_losses.append(float(loss))
+
+    np.testing.assert_allclose(results[0]["losses"], ref_losses, rtol=2e-5)
+
+    # edge-partitioned (halo) reference: same partitioned graph on the
+    # single-process 8-device mesh
+    from graphphysics_tpu.parallel.mesh import GRAPH_AXIS
+    from tests._multihost_common import make_gp_setup, make_partitioned
+
+    gmesh = make_mesh(8, (GRAPH_AXIS,))
+    gparts = shard_batch(make_partitioned(8), gmesh, GRAPH_AXIS)
+    gstate, gstep = make_gp_setup(gmesh, GRAPH_AXIS)
+    gp_ref = []
+    for _ in range(2):
+        gstate, gloss = gstep(gstate, gparts)
+        gp_ref.append(float(gloss))
+    np.testing.assert_allclose(results[0]["gp_losses"], gp_ref, rtol=2e-5)

@@ -418,3 +418,15 @@ def test_grph_combined_cli_dispatch(cylinder_env, tmp_path, monkeypatch):
     ])
     assert rc == 0
     assert any(f.endswith(".xdmf") for f in os.listdir(tmp_path / "preds"))
+
+
+def test_validate_logs_val_loss(cylinder_env):
+    """The per-step masked L2 "val_loss" on denormalized rollout predictions
+    (reference lightning_module.py:225-232) is computed for L2 heads."""
+    tmp, param = cylinder_env
+    trainer, loader, val_ds = _make(param, tmp)
+    trainer.fit(loader, num_epochs=1)
+    rmse = trainer.validate(val_ds, save_rollout=False)
+    assert np.isfinite(rmse)
+    assert trainer.last_val_loss is not None
+    assert np.isfinite(trainer.last_val_loss)
