@@ -22,6 +22,14 @@ from graphphysics_tpu.models.layers import (
     TransformerBlock,
 )
 
+# Non-array __call__ arguments that ``nn.remat`` must treat as static
+# (indices count ``self`` as 0; flax shifts them down by one internally).
+# ``ell_degree`` / ``csr_max_chunks`` are Python ints used as shapes, and
+# ``partition_axis`` is a mesh-axis *name* (str) — jax.checkpoint cannot
+# trace any of them as pytree leaves.
+_GNB_STATICS = (6, 8)  # ell_degree, partition_axis
+_TFB_STATICS = (5, 7, 10)  # ell_degree, partition_axis, csr_max_chunks
+
 
 class _ScannedGraphNetStack(nn.Module):
     """One GraphNetBlock applied as the body of an ``nn.scan`` over the
@@ -39,7 +47,10 @@ class _ScannedGraphNetStack(nn.Module):
     def __call__(self, carry, senders, receivers, edge_mask, twin_perm,
                  halo_send_idx):
         x, edge_attr = carry
-        block_cls = nn.remat(GraphNetBlock) if self.remat else GraphNetBlock
+        block_cls = (
+            nn.remat(GraphNetBlock, static_argnums=_GNB_STATICS)
+            if self.remat else GraphNetBlock
+        )
         x, edge_attr = block_cls(
             hidden_size=self.hidden_size, dtype=self.dtype, name="block"
         )(x, edge_attr, senders, receivers, edge_mask, self.ell_degree,
@@ -64,7 +75,10 @@ class _ScannedTransformerStack(nn.Module):
     @nn.compact
     def __call__(self, x, senders, receivers, edge_mask, twin_perm,
                  halo_send_idx, csr_bounds):
-        block_cls = nn.remat(TransformerBlock) if self.remat else TransformerBlock
+        block_cls = (
+            nn.remat(TransformerBlock, static_argnums=_TFB_STATICS)
+            if self.remat else TransformerBlock
+        )
         x = block_cls(
             output_dim=self.output_dim,
             num_heads=self.num_heads,
@@ -159,7 +173,10 @@ class EncodeProcessDecode(nn.Module):
             )((x, edge_attr), graph.senders, graph.receivers,
               graph.edge_mask, graph.twin_perm, graph.halo_send_idx)
         else:
-            block_cls = nn.remat(GraphNetBlock) if self.remat else GraphNetBlock
+            block_cls = (
+                nn.remat(GraphNetBlock, static_argnums=_GNB_STATICS)
+                if self.remat else GraphNetBlock
+            )
             for i in range(self.message_passing_num):
                 x, edge_attr = block_cls(
                     hidden_size=self.hidden_size, dtype=self.dtype,
@@ -239,7 +256,8 @@ class EncodeTransformDecode(nn.Module):
               graph.twin_perm, graph.halo_send_idx, graph.csr_bounds)
         else:
             block_cls = (
-                nn.remat(TransformerBlock) if self.remat else TransformerBlock
+                nn.remat(TransformerBlock, static_argnums=_TFB_STATICS)
+                if self.remat else TransformerBlock
             )
             for i in range(self.message_passing_num):
                 x = block_cls(
