@@ -384,6 +384,19 @@ class GraphNetBlock(nn.Module):
     materializes two extra ``[E,h]`` HBM intermediates that outweigh the
     FLOP saving (chained-step methodology, 2026-08-18). Kept as the fast
     path for gather-hostile compilers/hardware.
+
+    ``overlap_exchange`` (default ON, partitioned graphs only): in
+    edge-partitioned SPMD the sender gather rides a collective (halo
+    ``all_to_all`` or ``all_gather``, ``ops.halo``). With the fused concat
+    edge MLP, EVERY edge-MLP matmul sits downstream of that collective —
+    nothing overlaps. This knob splits ONLY the sender term out of the
+    first layer: the sender projection runs at node granularity BEFORE the
+    exchange (the collective ships already-projected ``x @ W_s`` rows —
+    same bytes), and the ``[E, ea+h] @ [ea+h, h]`` edge_attr+receiver
+    partial matmul is independent work XLA's latency-hiding scheduler
+    schedules between all_to_all-start and -done. After -done only a
+    gather + add remain on the critical path. One extra ``[E,h]``
+    intermediate (vs two for the full split above); same param tree.
     """
 
     hidden_size: int
@@ -391,6 +404,7 @@ class GraphNetBlock(nn.Module):
     layer_norm: bool = True
     dtype: Any = None
     project_before_gather: bool = False
+    overlap_exchange: bool = True
 
     @nn.compact
     def __call__(
@@ -433,6 +447,20 @@ class GraphNetBlock(nn.Module):
                 dtype=self.dtype,
                 name="edge_block",
             )((edge_attr, x, x), (None, gather_recv, gather_send))
+        elif partition_axis is not None and self.overlap_exchange:
+            # Overlap the sender collective with the edge_attr+receiver 2/3
+            # of the first layer (see class docstring). Kernel rows
+            # [0, ea+h) are the fused local part; rows [ea+h, ea+2h) the
+            # sender slice — identical param tree to the concat MLP.
+            local = jnp.concatenate([edge_attr, gather_recv(x)], axis=-1)
+            edge_update = _FusedEdgeMLP(
+                hidden_size=self.hidden_size,
+                in_sizes=(edge_attr.shape[-1] + x.shape[-1], x.shape[-1]),
+                nb_of_layers=self.nb_of_layers,
+                layer_norm=self.layer_norm,
+                dtype=self.dtype,
+                name="edge_block",
+            )((local, x), (None, gather_send))
         else:
             edge_in = jnp.concatenate(
                 [edge_attr, gather_recv(x), gather_send(x)], axis=-1

@@ -234,3 +234,59 @@ def test_partitioned_rollout_matches_single_device(halo):
     )
     np.testing.assert_allclose(np.asarray(targets), np.asarray(ref_targets),
                                rtol=1e-6)
+
+
+@pytest.mark.parametrize("halo", [False, True])
+def test_overlap_exchange_knob_same_function(halo):
+    """overlap_exchange splits the sender term out of the first edge-MLP
+    layer (projected pre-collective); same param tree, same outputs as the
+    fused-concat partitioned path."""
+    g = _mesh_graph(seed=7)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from graphphysics_tpu.models.layers import GraphNetBlock
+
+    mesh = make_mesh(4, (GRAPH_AXIS,))
+    parts = shard_batch(_jnp(_partition(g, 4, halo)), mesh, GRAPH_AXIS)
+    h = 16
+    r0 = np.random.default_rng(8)
+    x_full = jnp.asarray(r0.normal(size=(256, h)), jnp.float32)
+    ea = jnp.asarray(
+        r0.normal(size=(parts.senders.shape[0] * parts.senders.shape[1], h)),
+        jnp.float32,
+    )
+    blk_ov = GraphNetBlock(hidden_size=h, overlap_exchange=True)
+    blk_fu = GraphNetBlock(hidden_size=h, overlap_exchange=False)
+    xp = x_full.reshape(4, 64, h)
+    eap = ea.reshape(4, -1, h)
+
+    def fwd(blk, params):
+        def inner(x, ea, s, r, em, hs):
+            hs = None if hs is None else hs[0]
+            xn, en = blk.apply(
+                params, x[0], ea[0], s[0], r[0], em[0],
+                None, None, GRAPH_AXIS, hs,
+            )
+            return xn[None], en[None]
+        specs = (P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS),
+                 P(GRAPH_AXIS),
+                 P(GRAPH_AXIS) if parts.halo_send_idx is not None else None)
+        return shard_map(
+            inner, mesh=mesh,
+            in_specs=specs,
+            out_specs=(P(GRAPH_AXIS), P(GRAPH_AXIS)),
+        )(xp, eap, parts.senders, parts.receivers, parts.edge_mask,
+          parts.halo_send_idx)
+
+    bparams = blk_fu.init(
+        jax.random.key(1), x_full[:64], ea[: eap.shape[1]],
+        jnp.zeros_like(parts.senders[0]), jnp.zeros_like(parts.receivers[0]),
+    )
+    x_ov, e_ov = fwd(blk_ov, bparams)
+    x_fu, e_fu = fwd(blk_fu, bparams)
+    np.testing.assert_allclose(np.asarray(x_ov), np.asarray(x_fu),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(e_ov), np.asarray(e_fu),
+                               rtol=2e-4, atol=1e-5)
