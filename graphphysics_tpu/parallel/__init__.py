@@ -8,6 +8,7 @@ from graphphysics_tpu.parallel.mesh import (
 )
 from graphphysics_tpu.parallel.dp import (
     graph_parallel_forward,
+    make_dp_graph_parallel_train_step,
     make_dp_train_step,
     make_graph_parallel_train_step,
     merge_normalizer_states,
@@ -34,6 +35,7 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "shard_batch",
+    "make_dp_graph_parallel_train_step",
     "make_dp_train_step",
     "merge_normalizer_states",
 ]

@@ -114,11 +114,45 @@ def make_graph_parallel_train_step(
     )
 
 
+def make_dp_graph_parallel_train_step(
+    sim,
+    tx: optax.GradientTransformation,
+    masks: Sequence[int],
+    mesh: Mesh,
+    data_axis: str = DATA_AXIS,
+    graph_axis: str = "graph",
+    loss_kind: str = "l2",
+    gmm_kwargs: dict | None = None,
+) -> Callable:
+    """Combined 2-D SPMD train step over a ``(data, graph)`` mesh — the
+    pod-scale configuration: a batch of B graphs shards over ``data_axis``
+    (one graph per data row) while EACH graph is edge-partitioned over
+    ``graph_axis`` (``parallel.graph_partition``). ``step(state, batch)``
+    where the batch leaves are ``[B, P, ...]`` sharded on the first two axes.
+
+    Per-layer halo/all_gather collectives inside the model ride the graph
+    axis only (the Graph's ``partition_axis``); loss, gradients, and
+    normalizer statistics reduce over BOTH axes, so the result equals the
+    pure-DP step on unpartitioned graphs (and therefore the single-device
+    step) exactly."""
+
+    def local_shard(stacked: Graph) -> Graph:
+        # [1, 1, ...] local shard -> local Graph
+        return jax.tree_util.tree_map(lambda a: a[0, 0], stacked)
+
+    return _make_sharded_train_step(
+        sim, tx, masks, mesh, (data_axis, graph_axis), local_shard,
+        loss_kind, gmm_kwargs,
+    )
+
+
 def _make_sharded_train_step(
     sim, tx, masks, mesh, axis_name, local_graph_fn, loss_kind, gmm_kwargs
 ) -> Callable:
-    """Shared body of the DP and graph-parallel steps: they differ only in
-    the sharding axis and how a device turns its shard into a local Graph."""
+    """Shared body of the DP / graph-parallel / combined 2-D steps: they
+    differ only in the sharding axes (``axis_name``: one name or a tuple)
+    and how a device turns its shard into a local Graph."""
+    axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
     nti = sim.config.node_type_index
     local_loss = _make_local_loss(masks, loss_kind, gmm_kwargs)
 
@@ -137,7 +171,7 @@ def _make_sharded_train_step(
             mutable=["normalizer"],
         )
         merged_norm = merge_normalizer_states(
-            normalizer, mutated["normalizer"], axis_name
+            normalizer, mutated["normalizer"], axes
         )
 
         # Phase 2: forward/backward with merged stats (no re-accumulation).
@@ -158,12 +192,12 @@ def _make_sharded_train_step(
 
         (loss, count), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
 
-        total = jax.lax.psum(count, axis_name)
+        total = jax.lax.psum(count, axes)
         w = count / jnp.maximum(total, 1.0)
         grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(g * w, axis_name), grads
+            lambda g: jax.lax.psum(g * w, axes), grads
         )
-        gloss = jax.lax.psum(loss * w, axis_name)
+        gloss = jax.lax.psum(loss * w, axes)
 
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
@@ -172,7 +206,7 @@ def _make_sharded_train_step(
     sharded = shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis_name)),
+        in_specs=(P(), P(), P(), P(*axes)),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )

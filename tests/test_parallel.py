@@ -119,3 +119,118 @@ def test_mesh_uses_requested_devices():
     mesh = make_mesh(4)
     assert mesh.devices.size == 4
     assert mesh.axis_names == ("data",)
+
+
+@pytest.mark.parametrize("halo", [False, True])
+def test_dp_graph_parallel_2d_step_matches_dp(halo):
+    """Combined (data x graph) 2-D step: batch of 2 graphs, each
+    edge-partitioned into 4, over a 2x4 mesh — must reproduce the pure-DP
+    step on the unpartitioned graphs (and hence the single-device step)."""
+    from graphphysics_tpu.parallel import (
+        GRAPH_AXIS,
+        make_dp_graph_parallel_train_step,
+    )
+    from graphphysics_tpu.parallel.graph_partition import (
+        partition_graph_halo_np,
+        partition_graph_np,
+    )
+    from graphphysics_tpu.parallel.mesh import DATA_AXIS
+    from graphphysics_tpu.topology.build import to_undirected
+    from graphphysics_tpu.core.graph import pad_graph_np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def mesh_graph(seed):
+        n = 256
+        r = np.random.default_rng(seed)
+        s = r.integers(0, n, 3 * n).astype(np.int32)
+        t = (s + r.integers(1, 16, 3 * n)).astype(np.int32) % n
+        S, R = to_undirected(s, t)
+        x = r.normal(size=(n, 4)).astype(np.float32)
+        x[:, 2] = r.integers(0, 7, n)
+        pos = r.normal(size=(n, 2)).astype(np.float32)
+        ea = r.normal(size=(len(S), 3)).astype(np.float32)
+        y = r.normal(size=(n, 2)).astype(np.float32)
+        return pad_graph_np(x, pos, S, R, n_pad=n, e_pad=1664,
+                            edge_attr=ea, y=y, node_type_index=2)
+
+    graphs = [mesh_graph(s) for s in (10, 11)]
+
+    # uniform budgets so the two partitioned graphs stack to one static shape
+    if halo:
+        trial = [partition_graph_halo_np(g, 4) for g in graphs]
+        eb = max(t.senders.shape[1] for t in trial)
+        hb = max(t.halo_send_idx.shape[2] for t in trial)
+        parts = [
+            partition_graph_halo_np(g, 4, edge_budget_local=eb, halo_budget=hb)
+            for g in graphs
+        ]
+    else:
+        trial = [partition_graph_np(g, 4) for g in graphs]
+        eb = max(t.senders.shape[1] for t in trial)
+        parts = [partition_graph_np(g, 4, edge_budget_local=eb) for g in graphs]
+
+    cfg = SimulatorConfig(
+        node_input_size=2 + NodeType.SIZE, edge_input_size=3, output_size=2,
+        feature_index_start=0, feature_index_end=2,
+        output_index_start=0, output_index_end=2, node_type_index=2,
+    )
+    model = EncodeProcessDecode(
+        message_passing_num=2, node_input_size=cfg.node_input_size,
+        edge_input_size=3, output_size=2, hidden_size=8,
+    )
+    sim = Simulator(config=cfg, model=model)
+    gj0 = jax.tree_util.tree_map(jnp.asarray, graphs[0])
+    variables = sim.init({"params": jax.random.key(0)}, gj0)
+    tx = optax.adamw(1e-3, b1=0.9, b2=0.95, weight_decay=1e-4)
+
+    def fresh_state():
+        # deep-copy: the train steps donate their state buffers
+        return jax.tree_util.tree_map(jnp.copy, {
+            "params": variables["params"],
+            "normalizer": variables["normalizer"],
+            "opt_state": tx.init(variables["params"]),
+            "step": jnp.zeros((), jnp.int32),
+        })
+
+    masks = [NodeType.NORMAL, NodeType.OUTFLOW]
+
+    # reference: pure DP over the 2 unpartitioned graphs on a 2-device mesh,
+    # two successive steps (the second exercises the updated params+stats)
+    mesh_dp = make_mesh(2, (DATA_AXIS,))
+    dp_step = make_dp_train_step(sim, tx, masks, mesh_dp)
+    stacked = jax.tree_util.tree_map(jnp.asarray, stack_graphs(graphs))
+    dp_batch = shard_batch(stacked, mesh_dp, DATA_AXIS)
+    ref_state, ref_loss1 = dp_step(fresh_state(), dp_batch)
+    ref_state, ref_loss2 = dp_step(ref_state, dp_batch)
+
+    # 2-D: (data=2, graph=4) mesh over the batch of partitioned graphs
+    mesh2d = make_mesh(8, (DATA_AXIS, GRAPH_AXIS), shape=(2, 4))
+    step2d = make_dp_graph_parallel_train_step(sim, tx, masks, mesh2d)
+    batch2d = jax.tree_util.tree_map(jnp.asarray, stack_graphs(parts))
+    sharding = NamedSharding(mesh2d, P(DATA_AXIS, GRAPH_AXIS))
+    batch2d = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sharding), batch2d
+    )
+    new_state, loss1 = step2d(fresh_state(), batch2d)
+    new_state, loss2 = step2d(new_state, batch2d)
+
+    # Step-1 loss: same graphs, same params — near-exact. Step-2 loss runs on
+    # params that went through one Adam update; the model's init-time RMSNorm
+    # sharpness (grad ~1e6 at loss~1, ref-parity) means fp reassociation
+    # across partitions can flip the SIGN of near-zero grads, i.e. a few
+    # params differ by up to 2*lr — so the step-2 comparison is tolerant.
+    np.testing.assert_allclose(float(loss1), float(ref_loss1), rtol=2e-5)
+    np.testing.assert_allclose(float(loss2), float(ref_loss2), rtol=5e-3)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_state["normalizer"]),
+        jax.tree_util.tree_leaves(new_state["normalizer"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-5)
+    # params: equal except for the sign-flip ±2*lr cases described above
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_state["params"]),
+        jax.tree_util.tree_leaves(new_state["params"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=4.2e-3)
