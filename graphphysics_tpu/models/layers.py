@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from graphphysics_tpu.ops import masked_segment_sum, sparse_graph_attention
+from graphphysics_tpu.ops.segment import take_rows
 from graphphysics_tpu.ops.halo import partitioned_gather
 from graphphysics_tpu.ops.ell_ops import ell_gather, ell_repeat, ell_segment_sum
 
@@ -423,7 +424,7 @@ class GraphNetBlock(nn.Module):
             # Edge-partitioned SPMD: receivers are local; senders index the
             # all-gathered global node table (backward: reduce_scatter) — or,
             # in halo mode, the O(boundary) all_to_all exchange table.
-            gather_recv = lambda p: jnp.take(p, receivers, axis=0)  # noqa: E731
+            gather_recv = lambda p: take_rows(p, receivers)  # noqa: E731
             gather_send = lambda p: partitioned_gather(  # noqa: E731
                 p, senders, partition_axis, halo_send_idx
             )
@@ -435,8 +436,8 @@ class GraphNetBlock(nn.Module):
                 p, senders, twin_perm, ell_degree
             )
         else:
-            gather_recv = lambda p: jnp.take(p, receivers, axis=0)  # noqa: E731
-            gather_send = lambda p: jnp.take(p, senders, axis=0)  # noqa: E731
+            gather_recv = lambda p: take_rows(p, receivers)  # noqa: E731
+            gather_send = lambda p: take_rows(p, senders)  # noqa: E731
 
         if self.project_before_gather:
             edge_update = _FusedEdgeMLP(

@@ -27,7 +27,11 @@ from graphphysics_tpu.ops.ell_ops import (
     ell_segment_sum,
     ell_softmax,
 )
-from graphphysics_tpu.ops.segment import masked_segment_sum, segment_softmax
+from graphphysics_tpu.ops.segment import (
+    masked_segment_sum,
+    segment_softmax,
+    take_rows,
+)
 
 
 def sparse_graph_attention(
@@ -100,7 +104,7 @@ def sparse_graph_attention(
         # global table — or the O(boundary) halo exchange table (ops.halo) —
         # softmax + aggregation are local segment ops. Equals the COO
         # convention on the symmetric mesh adjacency.
-        q_e = jnp.take(q2, receivers, axis=0)
+        q_e = take_rows(q2, receivers)
         kv_e = partitioned_gather(kv2, senders, partition_axis, halo_send_idx)
         k_e, v_e = kv_e[:, :d], kv_e[:, d:]
         attn = segment_softmax(
@@ -128,8 +132,8 @@ def sparse_graph_attention(
             max_chunks=csr_max_chunks,
         )
 
-    q_e = jnp.take(q2, senders, axis=0)  # [E, d]
-    kv_e = jnp.take(kv2, receivers, axis=0)  # [E, 2d]
+    q_e = take_rows(q2, senders)  # [E, d]
+    kv_e = take_rows(kv2, receivers)  # [E, 2d]
     k_e, v_e = kv_e[:, :d], kv_e[:, d:]
     attn = segment_softmax(
         scores_of(q_e, k_e), senders, num_segments=num_nodes, mask=edge_mask

@@ -69,4 +69,6 @@ def partitioned_gather(
         table = jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
     else:
         table = halo_table(x, halo_send_idx, axis_name)
-    return jnp.take(table, senders, axis=0)
+    from graphphysics_tpu.ops.segment import take_rows
+
+    return take_rows(table, senders)

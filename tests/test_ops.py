@@ -126,3 +126,67 @@ def test_ops_jit_and_grad(rng):
     g = jax.jit(jax.grad(loss))(data)
     assert g.shape == data.shape
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_take_rows_bf16_packed_matches_plain_gather(rng):
+    from graphphysics_tpu.ops.segment import take_rows
+
+    n, e, h = 37, 120, 16  # even h -> packed path
+    x = jnp.array(rng.normal(size=(n, h)).astype(np.float32)).astype(jnp.bfloat16)
+    idx = jnp.array(rng.integers(0, n, size=e).astype(np.int32))
+
+    out = take_rows(x, idx)
+    ref = jnp.take(x, idx, axis=0)
+    assert out.dtype == jnp.bfloat16
+    # bitcast packing is exact — identical bits
+    np.testing.assert_array_equal(
+        np.asarray(out).view(np.uint16), np.asarray(ref).view(np.uint16)
+    )
+
+    # odd feature width falls back to plain gather
+    x_odd = x[:, :15]
+    np.testing.assert_array_equal(
+        np.asarray(take_rows(x_odd, idx)).view(np.uint16),
+        np.asarray(jnp.take(x_odd, idx, axis=0)).view(np.uint16),
+    )
+
+
+def test_take_rows_bf16_grad_matches_f32_scatter(rng):
+    from graphphysics_tpu.ops.segment import take_rows
+
+    n, e, h = 11, 40, 8
+    x32 = rng.normal(size=(n, h)).astype(np.float32)
+    idx = jnp.array(rng.integers(0, n, size=e).astype(np.int32))
+    w = rng.normal(size=(e, h)).astype(np.float32)
+
+    def loss_packed(x):
+        return (take_rows(x.astype(jnp.bfloat16), idx).astype(jnp.float32) * w).sum()
+
+    def loss_ref(x):
+        return (jnp.take(x.astype(jnp.bfloat16), idx, axis=0).astype(jnp.float32) * w).sum()
+
+    g_packed = jax.jit(jax.grad(loss_packed))(jnp.array(x32))
+    g_ref = jax.jit(jax.grad(loss_ref))(jnp.array(x32))
+    # custom VJP accumulates in f32, reference path accumulates in bf16 —
+    # allow bf16-level tolerance
+    np.testing.assert_allclose(
+        np.asarray(g_packed), np.asarray(g_ref), rtol=2e-2, atol=2e-2
+    )
+    assert bool(jnp.all(jnp.isfinite(g_packed)))
+
+
+def test_masked_segment_sum_bf16_accumulates_f32(rng):
+    e, n, f = 64, 10, 6
+    data = rng.normal(size=(e, f)).astype(np.float32)
+    seg = rng.integers(0, n, size=e).astype(np.int32)
+
+    out = masked_segment_sum(
+        jnp.array(data).astype(jnp.bfloat16), jnp.array(seg), n
+    )
+    assert out.dtype == jnp.bfloat16
+    expected = np.zeros((n, f), np.float32)
+    for i in range(e):
+        expected[seg[i]] += data[i].astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(out).astype(np.float32), expected, rtol=2e-2, atol=2e-2
+    )
