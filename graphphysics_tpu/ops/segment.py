@@ -110,7 +110,14 @@ def segment_softmax(
     each segment — the masked-edge analog of DGL's sparse ``softmax()`` over a
     row's *stored* entries. Padded edges get probability 0; empty segments
     produce all-zero rows (harmless: nothing aggregates from them).
+
+    16-bit scores compute internally in f32 (avoids the pathological 16-bit
+    segment-scatter lowering on TPU and keeps exp/normalization accurate) and
+    return their own dtype.
     """
+    out_dtype = scores.dtype
+    if _is_16bit_float(out_dtype):
+        scores = scores.astype(jnp.float32)
     if mask is not None:
         m = mask.reshape(mask.shape + (1,) * (scores.ndim - 1))
         scores = jnp.where(m, scores, _NEG_INF)
@@ -121,4 +128,4 @@ def segment_softmax(
         m = mask.reshape(mask.shape + (1,) * (scores.ndim - 1))
         ex = jnp.where(m, ex, 0.0)
     denom = jax.ops.segment_sum(ex, segment_ids, num_segments=num_segments)
-    return ex / (denom[segment_ids] + eps)
+    return (ex / (denom[segment_ids] + eps)).astype(out_dtype)

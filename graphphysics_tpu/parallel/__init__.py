@@ -14,6 +14,12 @@ from graphphysics_tpu.parallel.dp import (
     merge_normalizer_states,
     partitioned_rollout,
 )
+from graphphysics_tpu.parallel.tp import (
+    MODEL_AXIS,
+    make_tp_train_step,
+    shard_tp_state,
+    tp_param_specs,
+)
 from graphphysics_tpu.parallel.graph_partition import (
     partition_frames_np,
     partition_graph_halo_np,
@@ -38,4 +44,8 @@ __all__ = [
     "make_dp_graph_parallel_train_step",
     "make_dp_train_step",
     "merge_normalizer_states",
+    "MODEL_AXIS",
+    "make_tp_train_step",
+    "shard_tp_state",
+    "tp_param_specs",
 ]

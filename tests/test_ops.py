@@ -190,3 +190,19 @@ def test_masked_segment_sum_bf16_accumulates_f32(rng):
     np.testing.assert_allclose(
         np.asarray(out).astype(np.float32), expected, rtol=2e-2, atol=2e-2
     )
+
+
+def test_segment_softmax_bf16_matches_f32(rng):
+    e, n = 50, 8
+    scores = rng.normal(size=(e, 4)).astype(np.float32)
+    seg = rng.integers(0, n, size=e).astype(np.int32)
+    mask = rng.random(e) > 0.2
+
+    out16 = segment_softmax(
+        jnp.array(scores).astype(jnp.bfloat16), jnp.array(seg), n, jnp.array(mask)
+    )
+    out32 = segment_softmax(jnp.array(scores), jnp.array(seg), n, jnp.array(mask))
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out16).astype(np.float32), np.asarray(out32), atol=1e-2
+    )
