@@ -20,6 +20,11 @@ from graphphysics_tpu.parallel.tp import (
     shard_tp_state,
     tp_param_specs,
 )
+from graphphysics_tpu.parallel.pp import (
+    PIPE_AXIS,
+    make_pp_train_step,
+    shard_pp_state,
+)
 from graphphysics_tpu.parallel.graph_partition import (
     partition_frames_np,
     partition_graph_halo_np,
@@ -48,4 +53,7 @@ __all__ = [
     "make_tp_train_step",
     "shard_tp_state",
     "tp_param_specs",
+    "PIPE_AXIS",
+    "make_pp_train_step",
+    "shard_pp_state",
 ]

@@ -82,7 +82,16 @@ def shard_tp_state(state, mesh: Mesh, axis: str = MODEL_AXIS):
     """Place a train-state pytree onto the mesh: params (and the
     param-shaped optimizer moments) sharded by :func:`tp_param_specs`,
     everything else replicated."""
-    specs = tp_param_specs(state["params"], axis)
+    return shard_state_by_param_specs(
+        state, mesh, tp_param_specs(state["params"], axis)
+    )
+
+
+def shard_state_by_param_specs(state, mesh: Mesh, specs):
+    """Place a train-state pytree onto ``mesh``: params by the given spec
+    tree, optimizer moments by their matching param's spec (adamw/sgd
+    moments carry the param path as a suffix), everything else replicated.
+    Shared by the TP and PP state placement helpers."""
 
     def put(tree, spec_tree):
         return jax.tree_util.tree_map(

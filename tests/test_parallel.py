@@ -339,3 +339,81 @@ def test_tp_step_matches_single_device(transformer):
     for _ in range(2):
         new_state, loss = step(new_state, jax.device_put(graph))
     assert np.isfinite(float(loss))
+
+
+def test_pp_step_matches_single_device():
+    """GPipe pipeline step (4 stages x 4 microbatches) == single-device step
+    on the concat of the microbatches."""
+    from graphphysics_tpu.parallel import (
+        PIPE_AXIS,
+        make_mesh,
+        make_pp_train_step,
+        shard_pp_state,
+    )
+
+    M = 4
+    graphs = [make_test_graph(seed=s) for s in range(M)]
+    stacked = jax.tree_util.tree_map(jnp.asarray, stack_graphs(graphs))
+    graph = flatten_batched_graph(stacked)
+    cfg = SimulatorConfig(
+        node_input_size=2 + NodeType.SIZE,
+        edge_input_size=3,
+        output_size=2,
+        feature_index_start=0,
+        feature_index_end=2,
+        output_index_start=0,
+        output_index_end=2,
+        node_type_index=2,
+    )
+    model = EncodeProcessDecode(
+        message_passing_num=4,
+        node_input_size=cfg.node_input_size,
+        edge_input_size=3,
+        output_size=2,
+        hidden_size=8,
+        scan_blocks=True,
+    )
+    sim = Simulator(config=cfg, model=model)
+    variables = sim.init({"params": jax.random.key(0)}, graph)
+    tx = optax.sgd(1e-2, momentum=0.9)
+    state = {
+        "params": variables["params"],
+        "normalizer": variables["normalizer"],
+        "opt_state": tx.init(variables["params"]),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+    ref_params, ref_norm, ref_loss = _single_device_step(sim, tx, state, stacked)
+
+    mesh = make_mesh(4, (PIPE_AXIS,))
+    pp_state = shard_pp_state(state, mesh)
+    k = pp_state["params"]["model"]["blocks"]["block"]["edge_block"]["dense_0"][
+        "kernel"
+    ]
+    assert PIPE_AXIS in k.sharding.spec  # layer axis genuinely sharded
+
+    step = make_pp_train_step(
+        sim, tx, [NodeType.NORMAL, NodeType.OUTFLOW], mesh
+    )
+    new_state, loss = step(pp_state, stacked)
+
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(new_state["params"])[0],
+        jax.tree_util.tree_flatten_with_path(ref_params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+    # normalizer statistics identical to single-device accumulation
+    got = new_state["normalizer"]["node_normalizer"]["state"]
+    exp = ref_norm["node_normalizer"]["state"]
+    np.testing.assert_allclose(float(got.acc_count), float(exp.acc_count))
+    np.testing.assert_allclose(
+        np.asarray(got.acc_sum), np.asarray(exp.acc_sum), rtol=1e-4, atol=1e-5
+    )
+    # composes across steps
+    for _ in range(2):
+        new_state, loss = step(new_state, stacked)
+    assert np.isfinite(float(loss))
