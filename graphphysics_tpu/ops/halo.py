@@ -43,8 +43,10 @@ def halo_table(
         halo_send_idx: ``[P, B]`` local indices to send to each peer.
         axis_name: the graph mesh axis.
     """
+    from graphphysics_tpu.ops.segment import take_rows
+
     p, b = halo_send_idx.shape
-    send = jnp.take(x, halo_send_idx, axis=0)  # [P, B, F]
+    send = take_rows(x, halo_send_idx)  # [P, B, F] (16-bit-safe gather)
     # device d's row q goes to device q; received row q came from device q
     recv = jax.lax.all_to_all(
         send, axis_name, split_axis=0, concat_axis=0, tiled=True

@@ -25,14 +25,15 @@ def _is_16bit_float(dtype) -> bool:
 def _packed_take_impl(x: jax.Array, idx: jax.Array) -> jax.Array:
     """Row gather of a 16-bit ``[N, h]`` array via a 32-bit packed view:
     bitcast pairs of 16-bit lanes into one uint32 lane, gather rows in
-    uint32, bitcast back. Pure layout ops around a 32-bit gather."""
+    uint32, bitcast back. Pure layout ops around a 32-bit gather.
+    ``idx`` may have any shape; the result is ``idx.shape + (h,)``."""
     n, hh = x.shape
     u16 = jax.lax.bitcast_convert_type(x, jnp.uint16).reshape(n, hh // 2, 2)
     packed = jax.lax.bitcast_convert_type(u16, jnp.uint32)  # [N, h//2]
-    g = jnp.take(packed, idx, axis=0)  # [E, h//2] 32-bit gather
-    g16 = jax.lax.bitcast_convert_type(g, jnp.uint16)  # [E, h//2, 2]
+    g = jnp.take(packed, idx, axis=0)  # idx.shape + [h//2] 32-bit gather
+    g16 = jax.lax.bitcast_convert_type(g, jnp.uint16)  # idx.shape + [h//2, 2]
     return jax.lax.bitcast_convert_type(
-        g16.reshape(g.shape[0], hh), x.dtype
+        g16.reshape(idx.shape + (hh,)), x.dtype
     )
 
 
@@ -55,7 +56,9 @@ def _packed_take_bwd(num_rows, idx, g):
     # lowering — and more accurate than bf16 accumulation); the cotangent's
     # dtype equals the primal input's
     gx = jax.ops.segment_sum(
-        g.astype(jnp.float32), idx, num_segments=num_rows
+        g.reshape(-1, g.shape[-1]).astype(jnp.float32),
+        idx.reshape(-1),
+        num_segments=num_rows,
     ).astype(g.dtype)
     return gx, np.zeros(idx.shape, dtype=jax.dtypes.float0)
 

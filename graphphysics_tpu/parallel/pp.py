@@ -96,6 +96,15 @@ def make_pp_train_step(
         )
     if model.num_mixture_components != 0:
         raise NotImplementedError("pp: GMM decoder not supported yet")
+    if model.only_processor:
+        raise NotImplementedError("pp: only_processor models not supported")
+    if model.remat:
+        # the pre/post-pipe below rebuilds the forward from submodules, so
+        # the model's remat flag would be silently dropped — refuse instead
+        raise NotImplementedError(
+            "pp: remat not supported (the GPipe scan already bounds live "
+            "activations to one microbatch per stage)"
+        )
 
     S = mesh.shape[axis]
     L = model.message_passing_num
@@ -146,7 +155,7 @@ def make_pp_train_step(
 
             estate = None
             ea_n = mbs.edge_attr
-            if cfg.edge_input_size > 0 and ea_n is not None:
+            if ea_n is not None:  # edge_input_size > 0 checked at build
                 estate = norm.accumulate(
                     normalizer["edge_normalizer"]["state"], ea_n, mbs.edge_mask
                 )

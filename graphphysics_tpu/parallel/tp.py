@@ -42,10 +42,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 MODEL_AXIS = "model"
 
-_COLUMN_NAMES = {"q_proj", "k_proj", "v_proj", "linear1", "linear2"}
-_ROW_NAMES = {"proj", "out"}
-
-
 def _name_of(entry) -> str:
     return getattr(entry, "key", getattr(entry, "name", str(entry)))
 
@@ -56,16 +52,32 @@ def _spec_for(path, leaf, axis: str) -> P:
         return P()
     kind = names[-1]
     owner = names[-2] if len(names) >= 2 else ""
+    context = names[:-2]
     # stacked scan_blocks params carry a leading [L] layer axis
     lead = (None,) if leaf.ndim == 3 and kind == "kernel" else ()
+    # Match by owning-module context, not bare layer names: GMMHead also
+    # names its final Dense "proj" but must stay replicated (docstring).
     m = re.fullmatch(r"dense_(\d+)", owner)
-    column = m is not None and int(m.group(1)) % 2 == 0 or owner in _COLUMN_NAMES
-    row = m is not None and int(m.group(1)) % 2 == 1 or owner in _ROW_NAMES
+    in_attention = "attention" in context
+    in_gated = context and context[-1] == "gated"
+    in_gated_mlp = "gated_mlp" in context
+    column = (
+        (m is not None and int(m.group(1)) % 2 == 0)
+        or (in_attention and owner in ("q_proj", "k_proj", "v_proj"))
+        or (in_gated and owner in ("linear1", "linear2"))
+    )
+    row = (
+        (m is not None and int(m.group(1)) % 2 == 1)
+        or (in_attention and owner == "proj")
+        or (in_gated_mlp and not in_gated and owner == "out")
+    )
     if kind == "kernel" and leaf.ndim >= 2:
         if column:
             return P(*lead, None, axis)
         if row:
-            return P(*lead, axis, None)
+            # no trailing None: with_sharding_constraint normalizes it away,
+            # and P('model', None) != P('model') breaks the jit cache
+            return P(*lead, axis)
     if kind == "bias" and column:
         return P(*((None,) * (leaf.ndim - 1)), axis)
     return P()
@@ -85,6 +97,34 @@ def shard_tp_state(state, mesh: Mesh, axis: str = MODEL_AXIS):
     return shard_state_by_param_specs(
         state, mesh, tp_param_specs(state["params"], axis)
     )
+
+
+def opt_state_specs(opt_state, params, specs):
+    """PartitionSpec pytree for an optimizer state: the moments mirror the
+    param tree (adamw mu/nu, sgd trace carry the param path as a suffix), so
+    each opt leaf takes the spec of the param whose path it ends with and
+    whose shape it matches; everything else (counts, empty states) is
+    replicated."""
+    params_flat = {
+        tuple(_name_of(e) for e in p): (s, l.shape)
+        for (p, s), (_, l) in zip(
+            jax.tree_util.tree_flatten_with_path(specs)[0],
+            jax.tree_util.tree_flatten_with_path(params)[0],
+        )
+    }
+
+    def opt_spec(path, leaf):
+        names = tuple(_name_of(e) for e in path)
+        for k, (s, shape) in params_flat.items():
+            if (
+                len(names) >= len(k)
+                and names[-len(k):] == k
+                and leaf.shape == shape
+            ):
+                return s
+        return P()
+
+    return jax.tree_util.tree_map_with_path(opt_spec, opt_state)
 
 
 def shard_state_by_param_specs(state, mesh: Mesh, specs):
@@ -107,30 +147,10 @@ def shard_state_by_param_specs(state, mesh: Mesh, specs):
 
     out = dict(state)
     out["params"] = put(state["params"], specs)
-    # optimizer moments mirror the param tree (adamw: mu/nu carry the same
-    # paths as a suffix); shard any opt-state leaf whose path ends with a
-    # param path and whose shape matches that param's.
-    params_flat = {
-        tuple(_name_of(e) for e in p): (s, l.shape)
-        for (p, s), (_, l) in zip(
-            jax.tree_util.tree_flatten_with_path(specs)[0],
-            jax.tree_util.tree_flatten_with_path(state["params"])[0],
-        )
-    }
-
-    def opt_spec(path, leaf):
-        names = tuple(_name_of(e) for e in path)
-        for k, (s, shape) in params_flat.items():
-            if (
-                len(names) >= len(k)
-                and names[-len(k):] == k
-                and leaf.shape == shape
-            ):
-                return s
-        return P()
-
-    opt_specs = jax.tree_util.tree_map_with_path(opt_spec, state["opt_state"])
-    out["opt_state"] = put(state["opt_state"], opt_specs)
+    out["opt_state"] = put(
+        state["opt_state"],
+        opt_state_specs(state["opt_state"], state["params"], specs),
+    )
     if "normalizer" in state:
         out["normalizer"] = put_replicated(state["normalizer"])
     if "step" in state:
@@ -160,18 +180,19 @@ def make_tp_train_step(
     nti = sim.config.node_type_index
     local_loss = _make_local_loss(masks, loss_kind, gmm_kwargs)
 
-    def constrain(params, specs):
+    def constrain(tree, specs):
         return jax.tree_util.tree_map(
             lambda a, s: jax.lax.with_sharding_constraint(
                 a, NamedSharding(mesh, s)
             ),
-            params,
+            tree,
             specs,
         )
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, graph):
         specs = tp_param_specs(state["params"], axis)
+        opt_specs = opt_state_specs(state["opt_state"], state["params"], specs)
 
         def loss_fn(p):
             (out, target_dn, _), mutated = sim.apply(
@@ -191,7 +212,11 @@ def make_tp_train_step(
         )
         updates, new_opt = tx.update(grads, state["opt_state"], state["params"])
         new_params = optax.apply_updates(state["params"], updates)
+        # constrain BOTH params and moments so the output layout equals the
+        # input layout exactly — otherwise step 2 misses the jit cache and
+        # recompiles (20-60s on the real chip)
         new_params = constrain(new_params, specs)
+        new_opt = constrain(new_opt, opt_specs)
         return {
             "params": new_params,
             "normalizer": new_norm,

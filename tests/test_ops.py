@@ -206,3 +206,33 @@ def test_segment_softmax_bf16_matches_f32(rng):
     np.testing.assert_allclose(
         np.asarray(out16).astype(np.float32), np.asarray(out32), atol=1e-2
     )
+
+
+def test_take_rows_bf16_multidim_index(rng):
+    """[P, B]-shaped index tables (the halo send gather) through the packed
+    bf16 fast path must match jnp.take exactly."""
+    from graphphysics_tpu.ops.segment import take_rows
+
+    n, h = 9, 8
+    x = jnp.array(rng.normal(size=(n, h)).astype(np.float32)).astype(jnp.bfloat16)
+    idx = jnp.array(rng.integers(0, n, size=(3, 5)).astype(np.int32))
+
+    out = take_rows(x, idx)
+    ref = jnp.take(x, idx, axis=0)
+    assert out.shape == (3, 5, h)
+    np.testing.assert_array_equal(
+        np.asarray(out).view(np.uint16), np.asarray(ref).view(np.uint16)
+    )
+
+    # gradient: scatter-add over the flattened index
+    w = rng.normal(size=(3, 5, h)).astype(np.float32)
+
+    def loss(xf):
+        return (take_rows(xf.astype(jnp.bfloat16), idx).astype(jnp.float32) * w).sum()
+
+    g = jax.jit(jax.grad(loss))(jnp.array(rng.normal(size=(n, h)).astype(np.float32)))
+    expected = np.zeros((n, h), np.float32)
+    for i in range(3):
+        for j in range(5):
+            expected[int(idx[i, j])] += w[i, j]
+    np.testing.assert_allclose(np.asarray(g), expected, rtol=2e-2, atol=2e-2)

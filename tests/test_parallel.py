@@ -417,3 +417,25 @@ def test_pp_step_matches_single_device():
     for _ in range(2):
         new_state, loss = step(new_state, stacked)
     assert np.isfinite(float(loss))
+
+
+def test_tp_step_compiles_once():
+    """The TP step's output layout must equal its input layout (params AND
+    optimizer moments constrained), so step 2 hits the jit cache."""
+    from graphphysics_tpu.parallel import (
+        MODEL_AXIS,
+        make_mesh,
+        make_tp_train_step,
+        shard_tp_state,
+    )
+
+    sim, tx, state, stacked, graph = _setup_tp()
+    mesh = make_mesh(8, (MODEL_AXIS,))
+    tp_state = shard_tp_state(state, mesh)
+    step = make_tp_train_step(sim, tx, [NodeType.NORMAL, NodeType.OUTFLOW], mesh)
+    g = jax.device_put(graph)
+    tp_state, _ = step(tp_state, g)
+    n_compiles = step._cache_size()
+    tp_state, _ = step(tp_state, g)
+    tp_state, _ = step(tp_state, g)
+    assert step._cache_size() == n_compiles == 1

@@ -140,3 +140,63 @@ def test_get_dataset_invalid(param):
     p["dataset"] = dict(p["dataset"], extension="csv")
     with pytest.raises(ValueError, match="not supported"):
         get_dataset(p, get_preprocessing(p))
+
+
+@pytest.mark.parametrize(
+    "config_name",
+    sorted(p.name for p in __import__("pathlib").Path("training_config").glob("*.json")),
+)
+def test_shipped_configs_build_and_step(config_name):
+    """Every shipped training_config/*.json builds a working model+simulator
+    and runs one jitted training forward on a synthetic graph matching its
+    index layout (the reference ships the same config families)."""
+    import json
+    import pathlib
+
+    import jax
+    import numpy as np
+
+    from graphphysics_tpu.core.graph import pad_graph_np
+
+    param = json.loads((pathlib.Path("training_config") / config_name).read_text())
+    sim = get_simulator(param)
+
+    idx = param["index"]
+    raw_cols = max(
+        idx["feature_index_end"], idx["output_index_end"], idx["node_type_index"] + 1
+    ) + 1  # + trailing time feature
+    e_in = param["model"]["edge_input_size"]
+    out_size = param["model"]["output_size"]
+
+    rng = np.random.default_rng(0)
+    n, e = 64, 256
+    x = rng.normal(size=(n, raw_cols)).astype(np.float32)
+    x[:, idx["node_type_index"]] = rng.integers(0, 7, size=n)
+    g = pad_graph_np(
+        x,
+        rng.normal(size=(n, 2)).astype(np.float32),
+        rng.integers(0, n, size=e).astype(np.int32),
+        rng.integers(0, n, size=e).astype(np.int32),
+        n_pad=n,
+        e_pad=e,
+        edge_attr=rng.normal(size=(e, e_in)).astype(np.float32) if e_in else None,
+        y=rng.normal(size=(n, out_size)).astype(np.float32),
+        node_type_index=idx["node_type_index"],
+    )
+    g = jax.tree_util.tree_map(jnp.asarray, g)
+    variables = sim.init({"params": jax.random.key(0)}, g)
+
+    @jax.jit
+    def fwd(v, g):
+        (out, tgt, _), _ = sim.apply(v, g, is_training=True, mutable=["normalizer"])
+        return out, tgt
+
+    out, tgt = fwd(variables, g)
+    assert tgt.shape == (n, out_size)
+    K = param["model"].get("num_mixture_components", 0)
+    d = out_size
+    expected_out = d if K == 0 else K * (2 * d + 1)
+    assert out.shape[0] == n
+    if K == 0:
+        assert out.shape[1] == expected_out
+    assert bool(jnp.all(jnp.isfinite(out)))
