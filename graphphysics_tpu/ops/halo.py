@@ -31,6 +31,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from graphphysics_tpu.ops.segment import take_rows
+
 
 def halo_table(
     x: jax.Array, halo_send_idx: jax.Array, axis_name: str
@@ -43,8 +45,6 @@ def halo_table(
         halo_send_idx: ``[P, B]`` local indices to send to each peer.
         axis_name: the graph mesh axis.
     """
-    from graphphysics_tpu.ops.segment import take_rows
-
     p, b = halo_send_idx.shape
     send = take_rows(x, halo_send_idx)  # [P, B, F] (16-bit-safe gather)
     # device d's row q goes to device q; received row q came from device q
@@ -71,6 +71,4 @@ def partitioned_gather(
         table = jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
     else:
         table = halo_table(x, halo_send_idx, axis_name)
-    from graphphysics_tpu.ops.segment import take_rows
-
     return take_rows(table, senders)

@@ -10,10 +10,12 @@ Pallas kernels in ``ops.pallas`` provide fused fast paths on the same layout.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _NEG_INF = -1e30
 
@@ -37,10 +39,7 @@ def _packed_take_impl(x: jax.Array, idx: jax.Array) -> jax.Array:
     )
 
 
-from functools import partial as _partial
-
-
-@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _packed_take(x: jax.Array, idx: jax.Array, num_rows: int) -> jax.Array:
     return _packed_take_impl(x, idx)
 
@@ -50,8 +49,6 @@ def _packed_take_fwd(x, idx, num_rows):
 
 
 def _packed_take_bwd(num_rows, idx, g):
-    import numpy as np
-
     # accumulate the scatter-add in f32 (both faster — no 16-bit scatter
     # lowering — and more accurate than bf16 accumulation); the cotangent's
     # dtype equals the primal input's
@@ -73,7 +70,11 @@ def take_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
     ~25x slower end-to-end than f32 on the tunnel chip, 2026-08-18): each
     16-bit element tiles a full sublane. Packing adjacent feature pairs into
     uint32 lanes makes the gather a plain 32-bit one; the custom VJP
-    scatter-adds the cotangent with f32 accumulation."""
+    scatter-adds the cotangent with f32 accumulation.
+
+    Limitation: the custom_vjp makes the 16-bit fast path reverse-mode only
+    (jax.jvp/jacfwd raise on it; f32 and odd-width inputs are unaffected) —
+    acceptable because training/rollout only ever differentiate in reverse."""
     if x.ndim == 2 and _is_16bit_float(x.dtype) and x.shape[1] % 2 == 0:
         return _packed_take(x, idx, x.shape[0])
     return jnp.take(x, idx, axis=0)
