@@ -76,19 +76,24 @@ def make_pp_train_step(
 ) -> Callable:
     """Build the jitted GPipe train step ``step(state, microbatches)``.
 
-    ``sim.model`` must be an ``EncodeProcessDecode(scan_blocks=True)`` with
+    ``sim.model`` must be an ``EncodeProcessDecode`` or
+    ``EncodeTransformDecode`` with ``scan_blocks=True`` and with
     ``message_passing_num`` divisible by the pipe-axis size and a plain MLP
     decoder (``num_mixture_components == 0``); ``microbatches`` is a stacked
     Graph pytree (leaves ``[M, ...]``, ``core.graph.stack_graphs``) resident
     replicated. Semantics identical to the single-device step on the
     concatenation of the M microbatches (masked global mean loss, one
     normalizer accumulation of all rows)."""
-    from graphphysics_tpu.models.layers import MLP, GraphNetBlock
-    from graphphysics_tpu.models.processors import EncodeProcessDecode
+    from graphphysics_tpu.models.layers import MLP, GraphNetBlock, TransformerBlock
+    from graphphysics_tpu.models.processors import (
+        EncodeProcessDecode,
+        EncodeTransformDecode,
+    )
 
     model = sim.model
-    if not isinstance(model, EncodeProcessDecode):
-        raise NotImplementedError("pipeline parallelism supports EPD")
+    is_transformer = isinstance(model, EncodeTransformDecode)
+    if not isinstance(model, (EncodeProcessDecode, EncodeTransformDecode)):
+        raise NotImplementedError("pipeline parallelism supports EPD/transformer")
     if not model.scan_blocks:
         raise ValueError(
             "make_pp_train_step needs scan_blocks=True (stacked [L] block "
@@ -112,15 +117,24 @@ def make_pp_train_step(
         raise ValueError(f"message_passing_num {L} not divisible by pipe size {S}")
 
     cfg = sim.config
-    if cfg.edge_input_size <= 0:
+    if not is_transformer and cfg.edge_input_size <= 0:
         raise ValueError("pp: EPD requires edge features (edge_input_size > 0)")
     h = model.hidden_size
     dtype = model.dtype
     local_loss = _make_local_loss(masks, "l2", None)
     node_enc = MLP(h, h, dtype=dtype)
-    edge_enc = MLP(h, h, dtype=dtype)
+    edge_enc = None if is_transformer else MLP(h, h, dtype=dtype)
     decoder = MLP(h, cfg.output_size, layer_norm=False, dtype=dtype)
-    block = GraphNetBlock(hidden_size=h, dtype=dtype)
+    if is_transformer:
+        block = TransformerBlock(
+            output_dim=h,
+            num_heads=model.num_heads,
+            use_proj_bias=model.use_proj_bias,
+            use_separate_proj_weight=model.use_separate_proj_weight,
+            dtype=dtype,
+        )
+    else:
+        block = GraphNetBlock(hidden_size=h, dtype=dtype)
 
     def per_shard(params, normalizer, opt_state, mbs):
         stage = lax.axis_index(axis)
@@ -155,7 +169,7 @@ def make_pp_train_step(
 
             estate = None
             ea_n = mbs.edge_attr
-            if ea_n is not None:  # edge_input_size > 0 checked at build
+            if edge_enc is not None:  # EPD only; checked > 0 at build
                 estate = norm.accumulate(
                     normalizer["edge_normalizer"]["state"], ea_n, mbs.edge_mask
                 )
@@ -164,14 +178,28 @@ def make_pp_train_step(
             enc_x = node_enc.apply(
                 {"params": p["model"]["nodes_encoder"]}, feats_n
             )  # [M, N, h]
-            enc_e = edge_enc.apply(
-                {"params": p["model"]["edges_encoder"]}, ea_n
-            )  # [M, E, h]
+            enc_e = None
+            if edge_enc is not None:
+                enc_e = edge_enc.apply(
+                    {"params": p["model"]["edges_encoder"]}, ea_n
+                )  # [M, E, h]
 
-            # --- the pipe: rotate (node, edge) tables around the ring ----
+            # --- the pipe: rotate the node table (and, for EPD, the edge
+            # table) around the ring ----------------------------------------
             block_params = p["model"]["blocks"]["block"]  # leaves [K=L/S, ...]
 
             def run_stage(x, ea, senders, receivers, emask):
+                if is_transformer:
+                    def body(x, bp):
+                        x = block.apply(
+                            {"params": bp}, x, senders, receivers, emask,
+                            None, None, None, None, None, None,
+                        )
+                        return x, None
+
+                    x, _ = lax.scan(body, x, block_params)
+                    return x, ea
+
                 def body(carry, bp):
                     x, ea = carry
                     x, ea = block.apply(
@@ -184,11 +212,12 @@ def make_pp_train_step(
                 return x, ea
 
             outputs0 = jnp.zeros_like(enc_x)  # [M, N, h]
-            carry0 = (
-                jnp.zeros_like(enc_x[0]),
-                jnp.zeros_like(enc_e[0]),
-                outputs0,
+            ea0_zero = (
+                jnp.zeros((), enc_x.dtype)
+                if enc_e is None
+                else jnp.zeros_like(enc_e[0])
             )
+            carry0 = (jnp.zeros_like(enc_x[0]), ea0_zero, outputs0)
             perm = [(i, (i + 1) % S) for i in range(S)]
 
             def tick(carry, t):
@@ -197,7 +226,7 @@ def make_pp_train_step(
                 idx = jnp.clip(mb_here, 0, M - 1)
                 first = stage == 0
                 x0 = jnp.where(first, enc_x[idx], x_c)
-                ea0 = jnp.where(first, enc_e[idx], ea_c)
+                ea0 = ea_c if enc_e is None else jnp.where(first, enc_e[idx], ea_c)
                 x1, ea1 = run_stage(
                     x0, ea0, mbs.senders[idx], mbs.receivers[idx],
                     mbs.edge_mask[idx],
@@ -205,7 +234,7 @@ def make_pp_train_step(
                 emit = (mb_here >= 0) & (mb_here < M) & (stage == S - 1)
                 outs = jnp.where(emit, outs.at[idx].set(x1), outs)
                 x_c = lax.ppermute(x1, axis, perm)
-                ea_c = lax.ppermute(ea1, axis, perm)
+                ea_c = ea1 if enc_e is None else lax.ppermute(ea1, axis, perm)
                 return (x_c, ea_c, outs), None
 
             (_, _, outs), _ = lax.scan(

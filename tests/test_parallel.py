@@ -439,3 +439,63 @@ def test_tp_step_compiles_once():
     tp_state, _ = step(tp_state, g)
     tp_state, _ = step(tp_state, g)
     assert step._cache_size() == n_compiles == 1
+
+
+def test_pp_transformer_step_matches_single_device():
+    """GPipe over transformer blocks (node-table-only rotation)."""
+    from graphphysics_tpu.models.processors import EncodeTransformDecode
+    from graphphysics_tpu.parallel import (
+        PIPE_AXIS,
+        make_mesh,
+        make_pp_train_step,
+        shard_pp_state,
+    )
+
+    M = 4
+    graphs = [make_test_graph(seed=s, num_edge_features=0) for s in range(M)]
+    stacked = jax.tree_util.tree_map(jnp.asarray, stack_graphs(graphs))
+    graph = flatten_batched_graph(stacked)
+    cfg = SimulatorConfig(
+        node_input_size=2 + NodeType.SIZE,
+        edge_input_size=0,
+        output_size=2,
+        feature_index_start=0,
+        feature_index_end=2,
+        output_index_start=0,
+        output_index_end=2,
+        node_type_index=2,
+    )
+    model = EncodeTransformDecode(
+        message_passing_num=4,
+        node_input_size=cfg.node_input_size,
+        output_size=2,
+        hidden_size=8,
+        num_heads=2,
+        scan_blocks=True,
+    )
+    sim = Simulator(config=cfg, model=model)
+    variables = sim.init({"params": jax.random.key(0)}, graph)
+    tx = optax.sgd(1e-2, momentum=0.9)
+    state = {
+        "params": variables["params"],
+        "normalizer": variables["normalizer"],
+        "opt_state": tx.init(variables["params"]),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+    ref_params, ref_norm, ref_loss = _single_device_step(sim, tx, state, stacked)
+
+    mesh = make_mesh(4, (PIPE_AXIS,))
+    pp_state = shard_pp_state(state, mesh)
+    step = make_pp_train_step(sim, tx, [NodeType.NORMAL, NodeType.OUTFLOW], mesh)
+    new_state, loss = step(pp_state, stacked)
+
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(new_state["params"])[0],
+        jax.tree_util.tree_flatten_with_path(ref_params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(pa),
+        )
