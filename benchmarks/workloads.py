@@ -141,11 +141,34 @@ def run(name):
         return step(s, g)
 
     sec, _ = time_chained_steps(stepper, state, graph, iters=30, warmup=3)
+
+    # Inference / serving rate: chained eval forwards with autoregressive
+    # feedback (the rollout's per-frame work: normalize -> model ->
+    # denormalize -> write prediction back into the input fields).
+    out_w = w["out"]
+    ev_vars = {"params": state["params"], "normalizer": state["normalizer"]}
+
+    @jax.jit
+    def eval_frame(fields, graph):
+        g = graph.replace(x=graph.x.at[:, :out_w].set(fields))
+        _, _, predicted = sim.apply(ev_vars, g, is_training=False)
+        return predicted
+
+    def eval_stepper(fields, g):
+        pred = eval_frame(fields, g)
+        return pred, pred[0, 0]  # (carry, probe) — probe forces full frame
+
+    esec, _ = time_chained_steps(
+        eval_stepper, graph.x[:, :out_w], graph, iters=30, warmup=3
+    )
+
     edges = w["batch"] * w["e"]
     print(json.dumps({
         "workload": name,
         "ms_per_step": round(sec * 1e3, 3),
         "edges_per_sec": round(edges / sec, 1),
+        "rollout_ms_per_frame": round(esec * 1e3, 3),
+        "rollout_edges_per_sec": round(edges / esec, 1),
         "model": w["model"],
         "scale": f"{w['mp']}x{w['hidden']}",
     }))

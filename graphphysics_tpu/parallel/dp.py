@@ -107,6 +107,14 @@ def make_graph_parallel_train_step(
 
     def local_shard(stacked: Graph) -> Graph:
         # [1, ...] local shard -> local Graph
+        lead = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        if lead != 1:
+            raise ValueError(
+                f"graph-parallel step: expected exactly one partition per "
+                f"device on the '{graph_axis}' axis, got a local shard of "
+                f"{lead} — partition the graph into mesh.shape[graph_axis] "
+                f"parts (extra rows would be silently dropped)"
+            )
         return jax.tree_util.tree_map(lambda a: a[0], stacked)
 
     return _make_sharded_train_step(
@@ -138,6 +146,15 @@ def make_dp_graph_parallel_train_step(
 
     def local_shard(stacked: Graph) -> Graph:
         # [1, 1, ...] local shard -> local Graph
+        lead = jax.tree_util.tree_leaves(stacked)[0].shape[:2]
+        if lead != (1, 1):
+            raise ValueError(
+                f"2-D (data x graph) step: expected a [1, 1, ...] local "
+                f"shard (one graph per data row, one partition per graph "
+                f"device), got {lead} — size the batch to "
+                f"mesh.shape[data_axis] graphs of mesh.shape[graph_axis] "
+                f"parts (extra rows would be silently dropped)"
+            )
         return jax.tree_util.tree_map(lambda a: a[0, 0], stacked)
 
     return _make_sharded_train_step(
@@ -226,25 +243,37 @@ def _make_sharded_train_step(
     return step
 
 
+# jitted sharded closures are cached so repeated calls (per trajectory /
+# per epoch) hit the jit cache instead of retracing a fresh shard_map object
+# each time (rollout compiles take minutes on the real chip); keys hold the
+# module/mesh by strong reference, so no id-reuse aliasing.
+_SHARDED_FN_CACHE: dict = {}
+
+
 def graph_parallel_forward(sim_or_model, variables, partitioned: Graph, mesh: Mesh,
                            graph_axis: str = "graph", **apply_kwargs):
     """Run a model/simulator forward over an edge-partitioned graph; returns
     node-wise outputs re-stacked as ``[P, Nl, ...]``."""
+    key = ("fwd", sim_or_model, mesh, graph_axis,
+           tuple(sorted(apply_kwargs.items())))
+    fn = _SHARDED_FN_CACHE.get(key)
+    if fn is None:
+        def per_shard(variables, stacked):
+            graph = jax.tree_util.tree_map(lambda a: a[0], stacked)
+            out = sim_or_model.apply(variables, graph, **apply_kwargs)
+            return jax.tree_util.tree_map(lambda a: a[None], out)
 
-    def per_shard(variables, stacked):
-        graph = jax.tree_util.tree_map(lambda a: a[0], stacked)
-        out = sim_or_model.apply(variables, graph, **apply_kwargs)
-        return jax.tree_util.tree_map(lambda a: a[None], out)
-
-    return jax.jit(
-        shard_map(
-            per_shard,
-            mesh=mesh,
-            in_specs=(P(), P(graph_axis)),
-            out_specs=P(graph_axis),
-            check_vma=False,
+        fn = jax.jit(
+            shard_map(
+                per_shard,
+                mesh=mesh,
+                in_specs=(P(), P(graph_axis)),
+                out_specs=P(graph_axis),
+                check_vma=False,
+            )
         )
-    )(variables, partitioned)
+        _SHARDED_FN_CACHE[key] = fn
+    return fn(variables, partitioned)
 
 
 def partitioned_rollout(
@@ -267,23 +296,30 @@ def partitioned_rollout(
     (parts re-concatenated on the node axis)."""
     from graphphysics_tpu.training.rollout import rollout as _rollout
 
-    def per_shard(variables, stacked, rng):
-        frames = jax.tree_util.tree_map(lambda a: a[:, 0], stacked)
-        # decorrelate per-shard sampling streams (GMM eval draws)
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(graph_axis))
-        preds, targets = _rollout(
-            sim, variables, frames, rng,
-            use_previous_data=use_previous_data,
-            previous_data_start=previous_data_start,
-            previous_data_end=previous_data_end,
-        )
-        return preds, targets
+    key = ("rollout", sim, mesh, graph_axis, use_previous_data,
+           previous_data_start, previous_data_end)
+    fn = _SHARDED_FN_CACHE.get(key)
+    if fn is None:
+        def per_shard(variables, stacked, rng):
+            frames = jax.tree_util.tree_map(lambda a: a[:, 0], stacked)
+            # decorrelate per-shard sampling streams (GMM eval draws)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(graph_axis))
+            preds, targets = _rollout(
+                sim, variables, frames, rng,
+                use_previous_data=use_previous_data,
+                previous_data_start=previous_data_start,
+                previous_data_end=previous_data_end,
+            )
+            return preds, targets
 
-    sharded = shard_map(
-        per_shard,
-        mesh=mesh,
-        in_specs=(P(), P(None, graph_axis), P()),
-        out_specs=(P(None, graph_axis), P(None, graph_axis)),
-        check_vma=False,
-    )
-    return jax.jit(sharded)(variables, frames_parts, rng)
+        fn = jax.jit(
+            shard_map(
+                per_shard,
+                mesh=mesh,
+                in_specs=(P(), P(None, graph_axis), P()),
+                out_specs=(P(None, graph_axis), P(None, graph_axis)),
+                check_vma=False,
+            )
+        )
+        _SHARDED_FN_CACHE[key] = fn
+    return fn(variables, frames_parts, rng)

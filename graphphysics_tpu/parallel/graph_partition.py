@@ -57,7 +57,11 @@ def partition_graph_np(
     edge_mask = np.asarray(graph.edge_mask)
     part_of_edge = receivers // nl
 
-    counts = np.bincount(part_of_edge, minlength=num_parts)
+    # budget & assign REAL edges only: the input's padding edges all point
+    # at the global last node, which would land them in the last part and
+    # inflate the uniform budget for every part (padding is regenerated
+    # per part below)
+    counts = np.bincount(part_of_edge[edge_mask], minlength=num_parts)
     el = edge_budget_local or round_up(int(counts.max()), edge_multiple)
     if counts.max() > el:
         raise ValueError(
@@ -77,14 +81,14 @@ def partition_graph_np(
         ea = np.asarray(graph.edge_attr)
         ea_p = np.zeros((num_parts, el, ea.shape[1]), ea.dtype)
     for p in range(num_parts):
-        idx = np.flatnonzero(part_of_edge == p)
+        idx = np.flatnonzero(edge_mask & (part_of_edge == p))
         k = len(idx)
         # padding edges: self-loop on the part's last (global) node
         s_p[p] = p * nl + nl - 1
         r_p[p] = nl - 1
         s_p[p, :k] = senders[idx]
         r_p[p, :k] = receivers[idx] - p * nl
-        m_p[p, :k] = edge_mask[idx]
+        m_p[p, :k] = True
         if ea_p is not None:
             ea_p[p, :k] = ea[idx]
 
@@ -178,19 +182,20 @@ def partition_graph_halo_np(
     # local row (any in-range value works — they are excluded by edge_mask).
     s_new = np.full(base.senders.shape, nl - 1, np.int32)
     for p in range(p_arr):
-        idx = np.flatnonzero(part_of_edge == p)
+        # same real-edge filter and ordering as partition_graph_np, so row i
+        # of s_new[p] describes the same edge as row i of base.senders[p]
+        idx = np.flatnonzero(edge_mask_g & (part_of_edge == p))
         k = len(idx)
         s_glob = senders_g[idx]
         owners = s_glob // nl
         local = (s_glob - owners * nl).astype(np.int64)
-        em = edge_mask_g[idx]
         out = np.full(k, nl - 1, np.int32)
-        own = (owners == p) & em
+        own = owners == p
         out[own] = local[own]
         for q in range(p_arr):
             if q == p:
                 continue
-            sel = (owners == q) & em
+            sel = owners == q
             if not sel.any():
                 continue
             slots = np.searchsorted(requests[p][q], local[sel])
@@ -223,8 +228,9 @@ def partition_frames_np(
     nl = frames[0].num_nodes // num_parts
     budget = 0
     for f in frames:
+        em = np.asarray(f.edge_mask)
         counts = np.bincount(
-            np.asarray(f.receivers) // nl, minlength=num_parts
+            (np.asarray(f.receivers) // nl)[em], minlength=num_parts
         )
         budget = max(budget, _ru(int(counts.max()), 128))
     if halo:

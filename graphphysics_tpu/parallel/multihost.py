@@ -63,26 +63,48 @@ class MultihostGraphLoader:
         self.shuffle = shuffle
         self.seed = seed
         self._epoch = 0
+        self._start_batch = 0
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(epoch)
 
+    def set_start_batch(self, batch: int) -> None:
+        """Skip the first ``batch`` batches of the NEXT iteration only —
+        exact mid-epoch resume (same contract as ``dataset.GraphLoader``;
+        every host skips the same count, so the global stream stays
+        aligned)."""
+        self._start_batch = int(batch)
+
     def __len__(self) -> int:
         per_host = len(self.dataset) // jax.process_count()
         return per_host // self.per_host_batch
 
-    def __iter__(self):
-        from graphphysics_tpu.core.graph import stack_graphs
-
+    def _order(self) -> np.ndarray:
         idx = process_local_indices(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(
                 np.random.SeedSequence([self.seed, self._epoch])
             )
             rng.shuffle(idx)
-        for b in range(len(self)):
-            chunk = idx[b * self.per_host_batch : (b + 1) * self.per_host_batch]
-            local = stack_graphs([self.dataset[int(i)] for i in chunk])
-            yield global_batch_from_local(local, self.mesh)
+        return idx
+
+    def _local_batch(self, idx: np.ndarray, b: int):
+        from graphphysics_tpu.core.graph import stack_graphs
+
+        chunk = idx[b * self.per_host_batch : (b + 1) * self.per_host_batch]
+        return stack_graphs([self.dataset[int(i)] for i in chunk])
+
+    def peek(self):
+        """First global batch, built synchronously — for shape/parameter
+        initialization (same contract as ``dataset.GraphLoader.peek``)."""
+        return global_batch_from_local(
+            self._local_batch(self._order(), 0), self.mesh
+        )
+
+    def __iter__(self):
+        idx = self._order()
+        start, self._start_batch = self._start_batch, 0
+        for b in range(start, len(self)):
+            yield global_batch_from_local(self._local_batch(idx, b), self.mesh)

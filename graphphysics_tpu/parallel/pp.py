@@ -286,6 +286,18 @@ def make_pp_train_step(
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, mbs):
+        # static fields — checked at trace time: the pipe runs blocks with
+        # partition_axis=None, so partitioned/halo/ELL senders (global or
+        # exchange-table ids) would gather out of range and clamp silently
+        if (
+            mbs.partition_axis is not None
+            or mbs.halo_send_idx is not None
+            or mbs.ell_degree is not None
+        ):
+            raise ValueError(
+                "pp: microbatches must be plain unpartitioned COO graphs "
+                "(got partition_axis/halo_send_idx/ell_degree set)"
+            )
         param_specs = pp_param_specs(state["params"], axis)
         opt_specs = jax.tree_util.tree_map_with_path(
             lambda pth, g: P(axis) if _is_block_path(pth) else P(),

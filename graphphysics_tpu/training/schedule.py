@@ -18,7 +18,9 @@ def cosine_warmup_schedule(
     min_lr_factor: float = 0.001,
 ):
     def schedule(step):
-        epoch = step + 1.0
+        # clamp past max_iters: the cosine would pass pi and RAMP BACK UP if
+        # more steps are dispatched than the schedule was built for
+        epoch = jnp.minimum(step + 1.0, float(max_iters))
         lr_factor = 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / max_iters))
         warm = jnp.where(epoch <= warmup, epoch / max(warmup, 1), 1.0)
         lr_factor = jnp.maximum(lr_factor * warm, min_lr_factor)

@@ -394,14 +394,19 @@ class Trainer:
 
     # ----------------------------------------------------------- validation
 
+    _VAL_TRAJ_CACHE_MAX = 4  # stacked [T, N, F] frames are large host arrays
+
     def _stacked_trajectory(self, val_dataset, traj: int) -> Graph:
         # cache is per-dataset: validate(val_ds) then predict(test_ds) must
-        # not serve the first dataset's trajectories for the second
-        key = id(val_dataset)
-        if key != self._val_traj_cache_owner:
+        # not serve the first dataset's trajectories for the second. The
+        # owner is held by STRONG reference (not id()) so a new dataset
+        # reusing a garbage-collected one's address cannot alias the cache.
+        if val_dataset is not self._val_traj_cache_owner:
             self._val_traj_cache.clear()
-            self._val_traj_cache_owner = key
+            self._val_traj_cache_owner = val_dataset
         if traj not in self._val_traj_cache:
+            while len(self._val_traj_cache) >= self._VAL_TRAJ_CACHE_MAX:
+                self._val_traj_cache.pop(next(iter(self._val_traj_cache)))
             frames = [val_dataset[i] for i in val_dataset.trajectory_indices(traj)]
             self._val_traj_cache[traj] = stack_graphs(frames)
         return self._val_traj_cache[traj]

@@ -88,3 +88,52 @@ def test_two_process_dp_matches_single_process(tmp_path):
         gstate, gloss = gstep(gstate, gparts)
         gp_ref.append(float(gloss))
     np.testing.assert_allclose(results[0]["gp_losses"], gp_ref, rtol=2e-5)
+
+
+def test_multihost_loader_peek_and_resume_single_process():
+    """MultihostGraphLoader implements the Trainer's loader contract
+    (peek / set_start_batch / set_epoch) — unit-testable single-process,
+    where the global batch equals the local one."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphphysics_tpu.parallel import make_mesh
+    from graphphysics_tpu.parallel.multihost import MultihostGraphLoader
+    from tests.conftest import make_test_graph
+
+    class ListDataset:
+        def __init__(self, items):
+            self.items = items
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+    ds = ListDataset([make_test_graph(seed=s) for s in range(32)])
+    mesh = make_mesh(8)
+    loader = MultihostGraphLoader(ds, per_host_batch=8, mesh=mesh, shuffle=True)
+
+    assert len(loader) == 4
+    peeked = loader.peek()
+    batches = list(loader)
+    assert len(batches) == 4
+    np.testing.assert_array_equal(
+        np.asarray(peeked.x), np.asarray(batches[0].x)
+    )
+
+    # mid-epoch resume: skipping b batches yields the tail of the stream,
+    # one-shot (next full iteration starts from 0 again)
+    loader.set_start_batch(2)
+    resumed = list(loader)
+    assert len(resumed) == 2
+    np.testing.assert_array_equal(
+        np.asarray(resumed[0].x), np.asarray(batches[2].x)
+    )
+    assert len(list(loader)) == 4
+
+    # different epoch -> different shuffle order
+    loader.set_epoch(1)
+    ep1 = list(loader)
+    assert not np.array_equal(np.asarray(ep1[0].x), np.asarray(batches[0].x))

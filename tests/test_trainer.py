@@ -430,3 +430,28 @@ def test_validate_logs_val_loss(cylinder_env):
     assert np.isfinite(rmse)
     assert trainer.last_val_loss is not None
     assert np.isfinite(trainer.last_val_loss)
+
+
+def test_cosine_warmup_schedule_shape_and_clamp():
+    """Reference CosineWarmupScheduler semantics (graphphysics/utils/
+    scheduler.py:41-67): linear warmup MULTIPLIED by the cosine, 1e-3 floor —
+    plus our clamp at max_iters (the raw cosine would ramp back up past pi
+    if more steps run than the schedule was built for)."""
+    import numpy as np
+
+    from graphphysics_tpu.training.schedule import cosine_warmup_schedule
+
+    lr, warmup, max_iters = 1e-3, 4, 16
+    sched = cosine_warmup_schedule(lr, warmup, max_iters)
+    lrs = np.array([float(sched(s)) for s in range(2 * max_iters)])
+
+    # warmup: factor = (s+1)/warmup * cosine
+    for s in range(warmup):
+        expect = lr * 0.5 * (1 + np.cos(np.pi * (s + 1) / max_iters)) * (s + 1) / warmup
+        np.testing.assert_allclose(lrs[s], max(expect, lr * 1e-3), rtol=1e-6)
+    # monotone decay after warmup
+    assert (np.diff(lrs[warmup - 1 : max_iters]) <= 1e-12).all()
+    # floor at min_lr_factor
+    np.testing.assert_allclose(lrs[max_iters - 1], lr * 1e-3, rtol=1e-6)
+    # clamp: steps past max_iters stay at the floor, never ramp back up
+    assert (lrs[max_iters:] == lrs[max_iters - 1]).all()
