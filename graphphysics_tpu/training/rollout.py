@@ -124,6 +124,44 @@ def jitted_rollout(
     )
 
 
+@partial(jax.jit, static_argnames=("sim", "use_previous_data",
+                                   "previous_data_start", "previous_data_end"))
+def jitted_batched_rollout(
+    sim,
+    variables,
+    frames: Graph,
+    rngs: jax.Array,
+    use_previous_data: bool = False,
+    previous_data_start: Optional[int] = None,
+    previous_data_end: Optional[int] = None,
+):
+    """Roll out a BATCH of trajectories at once: ``frames`` carries leaves
+    shaped ``[B, T, ...]`` (a stack of per-trajectory frame stacks) and
+    ``rngs`` is ``[B]`` PRNG keys; returns ``(predictions, targets)`` shaped
+    ``[B, T, N, d]``.
+
+    The reference validates strictly sequentially — one trajectory at a time
+    through Lightning callbacks (``lightning_module.py:204-232``). Rollouts of
+    different trajectories are independent, so here they vmap over ``B``; with
+    ``frames`` placed under ``NamedSharding(mesh, P("data"))`` XLA's SPMD
+    partitioner runs each trajectory's scan on its own device and validation
+    becomes embarrassingly parallel over the data mesh axis (each device holds
+    only its own trajectory's frames)."""
+
+    def one(f, k):
+        return rollout(
+            sim,
+            variables,
+            f,
+            k,
+            use_previous_data=use_previous_data,
+            previous_data_start=previous_data_start,
+            previous_data_end=previous_data_end,
+        )
+
+    return jax.vmap(one)(frames, rngs)
+
+
 def rollout_rmse(
     predictions: jax.Array, targets: jax.Array, node_mask: jax.Array
 ) -> jax.Array:

@@ -64,6 +64,7 @@ class Trainer:
         profile_dir: Optional[str] = None,
         profile_start_step: int = 10,
         profile_num_steps: int = 3,
+        parallel_validation: bool = True,
     ):
         self.param = parameters
         self.learning_rate = learning_rate
@@ -103,6 +104,12 @@ class Trainer:
         self._trace_done = False
         self._trace_started_at = 0
         self.mesh = None
+        # validation rollouts of different trajectories are independent; when
+        # more than one device is visible they run batched over the data mesh
+        # axis (reference validates strictly sequentially,
+        # lightning_module.py:204-232)
+        self.parallel_validation = parallel_validation
+        self._val_mesh = None
         # preemption handling (reference has none, SURVEY.md §5): a SIGTERM/
         # SIGINT during fit() requests a checkpoint at the next step boundary
         self._interrupt_requested = False
@@ -411,6 +418,119 @@ class Trainer:
             self._val_traj_cache[traj] = stack_graphs(frames)
         return self._val_traj_cache[traj]
 
+    def _validation_mesh(self, n_traj: int):
+        """Device mesh for parallel validation rollouts, or None (sequential).
+        Reuses the DP training mesh when there is one, else builds a
+        data-axis mesh over the local devices once."""
+        if not self.parallel_validation or n_traj <= 1:
+            return None
+        if self.mesh is not None:
+            return self.mesh
+        if len(jax.devices()) <= 1:
+            return None
+        if self._val_mesh is None:
+            from graphphysics_tpu.parallel import make_mesh
+
+            self._val_mesh = make_mesh(self.num_devices)
+        return self._val_mesh
+
+    def _traj_stats(self, x0, node_mask, preds, targets, fetch_preds: bool):
+        """Per-trajectory validation stats from device arrays: (rmse, count,
+        val-loss sum, val-loss count, fetched predictions or None)."""
+        nti = self.sim.config.node_type_index
+        rmse = rollout_rmse(preds, targets, node_mask)
+        t, _, d = preds.shape
+        cnt = float(node_mask.sum()) * t * d
+        vs, vc = 0.0, 0
+        if self.K == 0:
+            # per-step masked L2 on the denormalized rollout predictions
+            # (reference "val_loss", lightning_module.py:225-232)
+            node_type = x0[:, nti].astype(jnp.int32)
+            step_losses = jax.vmap(
+                lambda p, y: losses_mod.l2_loss(
+                    y, p, node_type, self.masks, node_valid=node_mask
+                )
+            )(preds, targets)
+            vs, vc = float(step_losses.sum()), int(step_losses.shape[0])
+        return (
+            float(rmse), cnt, vs, vc,
+            np.asarray(preds) if fetch_preds else None,
+        )
+
+    def _batched_chunk_rollout(self, variables, dataset, idxs, sub, mesh):
+        """Batched rollout of the chunk's trajectories over the mesh's data
+        axis; returns per-trajectory ``(x0, node_mask0, preds, targets)``
+        device arrays, or None when the trajectories' padded shapes differ
+        (caller falls back to sequential)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from graphphysics_tpu.parallel import shard_batch
+        from graphphysics_tpu.training.rollout import jitted_batched_rollout
+
+        stacks = [self._stacked_trajectory(dataset, t) for t in idxs]
+        ref = (
+            jax.tree_util.tree_structure(stacks[0]),
+            [np.shape(l) for l in jax.tree_util.tree_leaves(stacks[0])],
+        )
+        for s in stacks[1:]:
+            cur = (
+                jax.tree_util.tree_structure(s),
+                [np.shape(l) for l in jax.tree_util.tree_leaves(s)],
+            )
+            if cur != ref:
+                return None
+
+        group = mesh.devices.size
+        valid = len(stacks)
+        while len(stacks) < group:  # pad the chunk; padded entries discarded
+            stacks.append(stacks[-1])
+        batch = shard_batch(stack_graphs(stacks), mesh)
+        axis = mesh.axis_names[0]
+        keys = jax.device_put(
+            jax.random.split(sub, group), NamedSharding(mesh, PartitionSpec(axis))
+        )
+        rep = jax.device_put(
+            variables, NamedSharding(mesh, PartitionSpec())
+        )
+        preds, targets = jitted_batched_rollout(
+            self.sim,
+            rep,
+            batch,
+            keys,
+            use_previous_data=self.use_previous_data,
+            previous_data_start=self.previous_data_start,
+            previous_data_end=self.previous_data_end,
+        )
+        return [
+            (batch.x[i, 0], batch.node_mask[i, 0], preds[i], targets[i])
+            for i in range(valid)
+        ]
+
+    def _rollout_trajectories_parallel(self, variables, dataset, idxs, sub, mesh):
+        chunk = self._batched_chunk_rollout(variables, dataset, idxs, sub, mesh)
+        if chunk is None:
+            return None
+        return [
+            self._traj_stats(x0, nm, p, t, fetch_preds=(traj == 0))
+            for traj, (x0, nm, p, t) in zip(idxs, chunk)
+        ]
+
+    def _rollout_trajectory(self, variables, val_dataset, traj, key):
+        frames = jax.device_put(self._stacked_trajectory(val_dataset, traj))
+        preds, targets = jitted_rollout(
+            self.sim,
+            variables,
+            frames,
+            key,
+            use_previous_data=self.use_previous_data,
+            previous_data_start=self.previous_data_start,
+            previous_data_end=self.previous_data_end,
+        )
+        return self._traj_stats(
+            frames.x[0], frames.node_mask[0], preds, targets,
+            fetch_preds=(traj == 0),
+        )
+
     def validate(
         self,
         val_dataset,
@@ -420,7 +540,9 @@ class Trainer:
     ) -> float:
         """Full autoregressive rollout over the validation trajectories;
         returns the global all-rollout RMSE (reference semantics: one RMSE
-        over every step of every trajectory)."""
+        over every step of every trajectory). With multiple devices the
+        independent per-trajectory rollouts run batched over the data mesh
+        axis (``jitted_batched_rollout``)."""
         variables = {
             "params": self.state["params"],
             "normalizer": self.state["normalizer"],
@@ -431,42 +553,36 @@ class Trainer:
 
         total_se, total_cnt = 0.0, 0.0
         vloss_sum, vloss_cnt = 0.0, 0
-        nti = self.sim.config.node_type_index
         rng = jax.random.key(self.seed + epoch)
-        for traj in range(n_traj):
-            frames = jax.device_put(self._stacked_trajectory(val_dataset, traj))
+        mesh = self._validation_mesh(n_traj)
+        group = mesh.devices.size if mesh is not None else 1
+
+        traj = 0
+        while traj < n_traj:
+            idxs = list(range(traj, min(traj + group, n_traj)))
             rng, sub = jax.random.split(rng)
-            preds, targets = jitted_rollout(
-                self.sim,
-                variables,
-                frames,
-                sub,
-                use_previous_data=self.use_previous_data,
-                previous_data_start=self.previous_data_start,
-                previous_data_end=self.previous_data_end,
-            )
-            node_mask = frames.node_mask[0]
-            rmse = rollout_rmse(preds, targets, node_mask)
-            t, _, d = preds.shape
-            cnt = float(node_mask.sum()) * t * d
-            total_se += float(rmse) ** 2 * cnt
-            total_cnt += cnt
-            if self.K == 0:
-                # per-step masked L2 on the denormalized rollout predictions
-                # (reference "val_loss", lightning_module.py:225-232)
-                node_type = frames.x[0][:, nti].astype(jnp.int32)
-                step_losses = jax.vmap(
-                    lambda p, y: losses_mod.l2_loss(
-                        y, p, node_type, self.masks, node_valid=node_mask
-                    )
-                )(preds, targets)
-                vloss_sum += float(step_losses.sum())
-                vloss_cnt += int(step_losses.shape[0])
-            if traj == 0:
-                if save_rollout and self.rollout_dir:
-                    self._save_rollout_xdmf(val_dataset, traj, np.asarray(preds), epoch)
-                if self.plot_callback is not None:
-                    self.plot_callback(self, val_dataset, epoch, np.asarray(preds))
+            results = None
+            if len(idxs) > 1:
+                results = self._rollout_trajectories_parallel(
+                    variables, val_dataset, idxs, sub, mesh
+                )
+            if results is None:
+                keys = jax.random.split(sub, len(idxs))
+                results = [
+                    self._rollout_trajectory(variables, val_dataset, t, k)
+                    for t, k in zip(idxs, keys)
+                ]
+            for t, (rmse, cnt, vs, vc, preds) in zip(idxs, results):
+                total_se += rmse**2 * cnt
+                total_cnt += cnt
+                vloss_sum += vs
+                vloss_cnt += vc
+                if t == 0:
+                    if save_rollout and self.rollout_dir:
+                        self._save_rollout_xdmf(val_dataset, 0, preds, epoch)
+                    if self.plot_callback is not None:
+                        self.plot_callback(self, val_dataset, epoch, preds)
+            traj = idxs[-1] + 1
         # epoch-mean val_loss (None for GMM heads, as in the reference)
         self.last_val_loss = vloss_sum / vloss_cnt if vloss_cnt else None
         return float(np.sqrt(total_se / max(total_cnt, 1.0)))
@@ -513,30 +629,53 @@ class Trainer:
         rng = jax.random.key(self.seed)
         out = []
         os.makedirs(save_dir, exist_ok=True)
-        for traj in range(n_traj):
-            frames = jax.device_put(self._stacked_trajectory(dataset, traj))
+        mesh = self._validation_mesh(n_traj)
+        group = mesh.devices.size if mesh is not None else 1
+
+        traj = 0
+        while traj < n_traj:
+            idxs = list(range(traj, min(traj + group, n_traj)))
             rng, sub = jax.random.split(rng)
-            preds, _ = jitted_rollout(
-                self.sim, variables, frames, sub,
-                use_previous_data=self.use_previous_data,
-                previous_data_start=self.previous_data_start,
-                previous_data_end=self.previous_data_end,
-            )
-            preds = np.asarray(preds)
-            out.append(preds)
-            raw = dataset._load(dataset.trajectory_indices(traj)[0])
-            cells = raw.tetra if raw.tetra is not None else raw.faces
-            name = raw.id if raw.id else str(traj)
-            dt = getattr(dataset, "dt", 1.0) or 1.0
-            with XdmfTimeSeriesWriter(
-                os.path.join(save_dir, f"graph_{name}.xdmf")
-            ) as w:
-                w.write_points_cells(raw.pos, cells)
-                t = dt if not self.use_previous_data else 2 * dt
-                for k in range(preds.shape[0]):
-                    w.write_data(t, {"prediction": preds[k, : raw.num_nodes]})
-                    t += dt
+            chunk = None
+            if len(idxs) > 1:
+                chunk = self._batched_chunk_rollout(
+                    variables, dataset, idxs, sub, mesh
+                )
+            if chunk is not None:
+                preds_list = [np.asarray(p) for (_, _, p, _) in chunk]
+            else:
+                keys = jax.random.split(sub, len(idxs))
+                preds_list = []
+                for t, k in zip(idxs, keys):
+                    frames = jax.device_put(
+                        self._stacked_trajectory(dataset, t)
+                    )
+                    preds, _ = jitted_rollout(
+                        self.sim, variables, frames, k,
+                        use_previous_data=self.use_previous_data,
+                        previous_data_start=self.previous_data_start,
+                        previous_data_end=self.previous_data_end,
+                    )
+                    preds_list.append(np.asarray(preds))
+            for t, preds in zip(idxs, preds_list):
+                out.append(preds)
+                self._save_prediction_xdmf(dataset, t, preds, save_dir)
+            traj = idxs[-1] + 1
         return out
+
+    def _save_prediction_xdmf(self, dataset, traj, preds, save_dir):
+        raw = dataset._load(dataset.trajectory_indices(traj)[0])
+        cells = raw.tetra if raw.tetra is not None else raw.faces
+        name = raw.id if raw.id else str(traj)
+        dt = getattr(dataset, "dt", 1.0) or 1.0
+        with XdmfTimeSeriesWriter(
+            os.path.join(save_dir, f"graph_{name}.xdmf")
+        ) as w:
+            w.write_points_cells(raw.pos, cells)
+            t = dt if not self.use_previous_data else 2 * dt
+            for k in range(preds.shape[0]):
+                w.write_data(t, {"prediction": preds[k, : raw.num_nodes]})
+                t += dt
 
     # ---------------------------------------------------------------- misc
 

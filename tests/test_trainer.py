@@ -432,6 +432,32 @@ def test_validate_logs_val_loss(cylinder_env):
     assert np.isfinite(trainer.last_val_loss)
 
 
+def test_parallel_validation_matches_sequential(cylinder_env):
+    """Multi-device batched validation rollouts (vmap over trajectories,
+    sharded over the data axis) must reproduce the sequential path's
+    all-rollout RMSE and val_loss exactly — including the chunk padding
+    (2 trajectories over an 8-device mesh)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    tmp, param = cylinder_env
+    trainer, loader, val_ds = _make(param, tmp)
+    trainer.fit(loader, num_epochs=1)
+
+    trainer.parallel_validation = False
+    rmse_seq = trainer.validate(val_ds, save_rollout=False)
+    vloss_seq = trainer.last_val_loss
+
+    trainer.parallel_validation = True
+    rmse_par = trainer.validate(val_ds, save_rollout=False)
+    vloss_par = trainer.last_val_loss
+
+    assert trainer._validation_mesh(val_ds.size_dataset) is not None
+    assert rmse_par == pytest.approx(rmse_seq, rel=1e-5)
+    assert vloss_par == pytest.approx(vloss_seq, rel=1e-5)
+
+
 def test_cosine_warmup_schedule_shape_and_clamp():
     """Reference CosineWarmupScheduler semantics (graphphysics/utils/
     scheduler.py:41-67): linear warmup MULTIPLIED by the cosine, 1e-3 floor —
