@@ -44,6 +44,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--metrics_path", default="metrics.csv")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the batch across all local devices (shard_map)")
+    p.add_argument("--gradient_accumulation", action="store_true",
+                   help="one optimizer step per batch of batch_size "
+                        "sequential microbatches (activation memory of one "
+                        "microbatch; exact big-batch semantics)")
     p.add_argument("--save_every_n_steps", type=int, default=None,
                    help="also checkpoint mid-epoch every N steps (preemption "
                         "safety; SIGTERM/SIGINT always checkpoint before exit)")
@@ -139,7 +143,9 @@ def main(argv=None) -> int:
         seed=args.seed,
         prefetch=args.prefetch_factor,
         num_workers=args.num_workers,
-        collate="stack" if args.data_parallel else "concat",
+        collate="stack"
+        if (args.data_parallel or args.gradient_accumulation)
+        else "concat",
     )
 
     extra_logger = None
@@ -175,6 +181,7 @@ def main(argv=None) -> int:
     trainer = Trainer(
         parameters,
         data_parallel=args.data_parallel,
+        gradient_accumulation=args.gradient_accumulation,
         learning_rate=args.init_lr,
         warmup=args.warmup,
         checkpoint_dir=args.checkpoint_dir,

@@ -50,24 +50,7 @@ def merge_normalizer_states(old, new, axis_name: str):
     return jax.tree_util.tree_map(merge, old, new, is_leaf=is_state)
 
 
-def _make_local_loss(masks, loss_kind, gmm_kwargs):
-    masks = [int(m) for m in masks]
-    gmm_kwargs = gmm_kwargs or {}
-
-    def local_loss(target, out, node_type, node_valid, exclude_mask):
-        mask = losses_mod.node_type_mask(node_type, masks, node_valid, exclude_mask)
-        if loss_kind == "l2":
-            per_row = jnp.mean((out - target) ** 2, axis=-1)
-        elif loss_kind == "diag_gmm":
-            per_row = losses_mod.diagonal_gmm_nll_per_row(
-                target, out, **gmm_kwargs
-            )
-        else:
-            raise ValueError(loss_kind)
-        w = mask.astype(per_row.dtype)
-        return jnp.sum(per_row * w), jnp.sum(w)
-
-    return local_loss
+_make_local_loss = losses_mod.make_local_loss
 
 
 def make_dp_train_step(

@@ -18,6 +18,7 @@ __all__ = [
     "rollout",
     "jitted_rollout",
     "rollout_rmse",
+    "make_microbatch_train_step",
 ]
 
 
@@ -32,4 +33,10 @@ def __getattr__(name):
         from graphphysics_tpu.training import rollout as _r
 
         return getattr(_r, name)
+    if name == "make_microbatch_train_step":
+        from graphphysics_tpu.training.microbatch import (
+            make_microbatch_train_step,
+        )
+
+        return make_microbatch_train_step
     raise AttributeError(name)

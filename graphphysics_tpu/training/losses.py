@@ -46,6 +46,28 @@ def _masked_row_mean(per_row: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def make_local_loss(masks: Sequence[int], loss_kind: str, gmm_kwargs=None):
+    """Build a local (sum, count) loss for count-weighted reductions — the
+    shared kernel of the sharded (``parallel.dp``) and microbatched
+    (``training.microbatch``) train steps: summing the per-shard sums and
+    counts reproduces the single-device masked mean exactly."""
+    masks = [int(m) for m in masks]
+    gmm_kwargs = gmm_kwargs or {}
+
+    def local_loss(target, out, node_type, node_valid, exclude_mask):
+        mask = node_type_mask(node_type, masks, node_valid, exclude_mask)
+        if loss_kind == "l2":
+            per_row = jnp.mean((out - target) ** 2, axis=-1)
+        elif loss_kind == "diag_gmm":
+            per_row = diagonal_gmm_nll_per_row(target, out, **gmm_kwargs)
+        else:
+            raise ValueError(loss_kind)
+        w = mask.astype(per_row.dtype)
+        return jnp.sum(per_row * w), jnp.sum(w)
+
+    return local_loss
+
+
 def l2_loss(
     target: jax.Array,
     network_output: jax.Array,

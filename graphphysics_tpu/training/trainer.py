@@ -58,6 +58,7 @@ class Trainer:
         extra_logger=None,
         plot_callback=None,
         data_parallel: bool = False,
+        gradient_accumulation: bool = False,
         num_devices: Optional[int] = None,
         save_every_n_steps: Optional[int] = None,
         checkpoint_backend: str = "msgpack",
@@ -85,6 +86,15 @@ class Trainer:
         self.extra_logger = extra_logger
         self.plot_callback = plot_callback
         self.data_parallel = data_parallel
+        # gradient accumulation: the loader's stacked [M, ...] batch is M
+        # sequential microbatches per optimizer step (training/microbatch.py)
+        self.gradient_accumulation = gradient_accumulation
+        if data_parallel and gradient_accumulation:
+            raise ValueError(
+                "data_parallel and gradient_accumulation are separate batch "
+                "layouts; combine them by raising the per-device batch "
+                "instead (see docs/scaling.md)"
+            )
         self.num_devices = num_devices
         self.save_every_n_steps = save_every_n_steps
         # "msgpack" (one portable file) | "orbax" | "orbax-async" (periodic
@@ -145,7 +155,7 @@ class Trainer:
         """Initialize params/normalizers/optimizer from one example batch."""
         from graphphysics_tpu.core.graph import flatten_batched_graph
 
-        if self.data_parallel:
+        if self.data_parallel or self.gradient_accumulation:
             gj = flatten_batched_graph(
                 jax.tree_util.tree_map(jnp.asarray, example_batch)
             )
@@ -165,6 +175,8 @@ class Trainer:
         }
         if self.data_parallel:
             self._build_dp_train_step()
+        elif self.gradient_accumulation:
+            self._build_microbatch_train_step()
         else:
             self._build_train_step()
         return self.state
@@ -201,6 +213,28 @@ class Trainer:
             }, loss
 
         self._train_step = train_step
+
+    def _build_microbatch_train_step(self):
+        """Gradient-accumulation step: the loader must use collate='stack';
+        each stacked [M, ...] batch is M sequential microbatches per
+        optimizer step (one microbatch's activations live at a time)."""
+        from graphphysics_tpu.training.microbatch import (
+            make_microbatch_train_step,
+        )
+
+        loss_kind = "l2" if self.K == 0 else "diag_gmm"
+        gmm_kwargs = (
+            None
+            if self.K == 0
+            else dict(d=self.d, K=self.K, temperature=self.temperature)
+        )
+        self._train_step = make_microbatch_train_step(
+            self.sim,
+            self.tx,
+            self.masks,
+            loss_kind=loss_kind,
+            gmm_kwargs=gmm_kwargs,
+        )
 
     def _build_dp_train_step(self):
         """Data-parallel step over all (or num_devices) local devices; the
