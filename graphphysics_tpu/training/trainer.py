@@ -458,15 +458,36 @@ class Trainer:
         data-axis mesh over the local devices once."""
         if not self.parallel_validation or n_traj <= 1:
             return None
-        if self.mesh is not None:
-            return self.mesh
-        if len(jax.devices()) <= 1:
-            return None
-        if self._val_mesh is None:
-            from graphphysics_tpu.parallel import make_mesh
+        mesh = self.mesh
+        if mesh is None:
+            if len(jax.devices()) <= 1:
+                return None
+            if self._val_mesh is None:
+                from graphphysics_tpu.parallel import make_mesh
 
-            self._val_mesh = make_mesh(self.num_devices)
-        return self._val_mesh
+                self._val_mesh = make_mesh(self.num_devices)
+            mesh = self._val_mesh
+        # chunks are assembled from host data placed device-by-device: every
+        # mesh device must be addressable from this process, and the mesh
+        # 1-axis (the Trainer only ever builds data-axis meshes)
+        pid = jax.process_index()
+        if len(mesh.axis_names) != 1 or any(
+            d.process_index != pid for d in mesh.devices.flat
+        ):
+            return None
+        return mesh
+
+    def _traj_signature(self, dataset, traj: int):
+        """Cheap can-these-trajectories-stack probe: frame count plus the
+        first frame's pytree structure and leaf shapes (building one frame is
+        ~T times cheaper than stacking the whole trajectory)."""
+        idx = dataset.trajectory_indices(traj)
+        g = dataset[idx[0]]
+        return (
+            len(idx),
+            jax.tree_util.tree_structure(g),
+            tuple(np.shape(l) for l in jax.tree_util.tree_leaves(g)),
+        )
 
     def _traj_stats(self, x0, node_mask, preds, targets, fetch_preds: bool):
         """Per-trajectory validation stats from device arrays: (rmse, count,
@@ -491,37 +512,53 @@ class Trainer:
             np.asarray(preds) if fetch_preds else None,
         )
 
-    def _batched_chunk_rollout(self, variables, dataset, idxs, sub, mesh):
+    def _device_stacked_chunk(self, stacks, mesh):
+        """Assemble the ``[B, T, ...]`` chunk directly on the mesh: each
+        trajectory's leaves are device_put to its own device and stitched
+        into the global sharded array — the host never materializes the
+        monolithic stack (peak host memory stays one trajectory)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = mesh.axis_names[0]
+        devices = list(mesh.devices.flat)
+        sharding = NamedSharding(mesh, PartitionSpec(axis))
+
+        def build(*leaves):
+            parts = [
+                jax.device_put(np.asarray(l)[None], d)
+                for l, d in zip(leaves, devices)
+            ]
+            return jax.make_array_from_single_device_arrays(
+                (len(leaves),) + np.shape(leaves[0]), sharding, parts
+            )
+
+        return jax.tree_util.tree_map(build, *stacks)
+
+    def _batched_chunk_rollout(self, variables, dataset, idxs, keys, mesh):
         """Batched rollout of the chunk's trajectories over the mesh's data
         axis; returns per-trajectory ``(x0, node_mask0, preds, targets)``
         device arrays, or None when the trajectories' padded shapes differ
         (caller falls back to sequential)."""
         from jax.sharding import NamedSharding, PartitionSpec
 
-        from graphphysics_tpu.parallel import shard_batch
         from graphphysics_tpu.training.rollout import jitted_batched_rollout
 
-        stacks = [self._stacked_trajectory(dataset, t) for t in idxs]
-        ref = (
-            jax.tree_util.tree_structure(stacks[0]),
-            [np.shape(l) for l in jax.tree_util.tree_leaves(stacks[0])],
-        )
-        for s in stacks[1:]:
-            cur = (
-                jax.tree_util.tree_structure(s),
-                [np.shape(l) for l in jax.tree_util.tree_leaves(s)],
-            )
-            if cur != ref:
+        sig = self._traj_signature(dataset, idxs[0])
+        for t in idxs[1:]:
+            if self._traj_signature(dataset, t) != sig:
                 return None
 
         group = mesh.devices.size
-        valid = len(stacks)
+        valid = len(idxs)
+        stacks = [self._stacked_trajectory(dataset, t) for t in idxs]
+        keys = list(keys)
         while len(stacks) < group:  # pad the chunk; padded entries discarded
             stacks.append(stacks[-1])
-        batch = shard_batch(stack_graphs(stacks), mesh)
-        axis = mesh.axis_names[0]
-        keys = jax.device_put(
-            jax.random.split(sub, group), NamedSharding(mesh, PartitionSpec(axis))
+            keys.append(keys[-1])
+        batch = self._device_stacked_chunk(stacks, mesh)
+        karr = jax.device_put(
+            jnp.stack(keys),
+            NamedSharding(mesh, PartitionSpec(mesh.axis_names[0])),
         )
         rep = jax.device_put(
             variables, NamedSharding(mesh, PartitionSpec())
@@ -530,7 +567,7 @@ class Trainer:
             self.sim,
             rep,
             batch,
-            keys,
+            karr,
             use_previous_data=self.use_previous_data,
             previous_data_start=self.previous_data_start,
             previous_data_end=self.previous_data_end,
@@ -540,8 +577,8 @@ class Trainer:
             for i in range(valid)
         ]
 
-    def _rollout_trajectories_parallel(self, variables, dataset, idxs, sub, mesh):
-        chunk = self._batched_chunk_rollout(variables, dataset, idxs, sub, mesh)
+    def _rollout_trajectories_parallel(self, variables, dataset, idxs, keys, mesh):
+        chunk = self._batched_chunk_rollout(variables, dataset, idxs, keys, mesh)
         if chunk is None:
             return None
         return [
@@ -587,21 +624,23 @@ class Trainer:
 
         total_se, total_cnt = 0.0, 0.0
         vloss_sum, vloss_cnt = 0.0, 0
-        rng = jax.random.key(self.seed + epoch)
+        # per-trajectory keys fold in the trajectory index, so the sampling
+        # stream (GMM eval draws) is identical whatever the chunking — the
+        # parallel and sequential paths agree even for stochastic heads
+        base = jax.random.key(self.seed + epoch)
         mesh = self._validation_mesh(n_traj)
         group = mesh.devices.size if mesh is not None else 1
 
         traj = 0
         while traj < n_traj:
             idxs = list(range(traj, min(traj + group, n_traj)))
-            rng, sub = jax.random.split(rng)
+            keys = [jax.random.fold_in(base, t) for t in idxs]
             results = None
             if len(idxs) > 1:
                 results = self._rollout_trajectories_parallel(
-                    variables, val_dataset, idxs, sub, mesh
+                    variables, val_dataset, idxs, keys, mesh
                 )
             if results is None:
-                keys = jax.random.split(sub, len(idxs))
                 results = [
                     self._rollout_trajectory(variables, val_dataset, t, k)
                     for t, k in zip(idxs, keys)
@@ -621,24 +660,33 @@ class Trainer:
         self.last_val_loss = vloss_sum / vloss_cnt if vloss_cnt else None
         return float(np.sqrt(total_se / max(total_cnt, 1.0)))
 
+    def _write_rollout_series(self, dataset, traj: int, preds: np.ndarray,
+                              make_path):
+        """Write a predicted trajectory as an XDMF time series on the raw
+        mesh (reference ``_save_trajectory_to_xdmf``,
+        ``lightning_module.py:124-161``); ``make_path(name)`` maps the
+        trajectory's mesh id to the output path."""
+        raw = dataset._load(dataset.trajectory_indices(traj)[0])
+        cells = raw.tetra if raw.tetra is not None else raw.faces
+        name = raw.id if raw.id else str(traj)
+        dt = getattr(dataset, "dt", 1.0) or 1.0
+        with XdmfTimeSeriesWriter(make_path(name)) as w:
+            w.write_points_cells(raw.pos, cells)
+            t = dt if not self.use_previous_data else 2 * dt
+            for k in range(preds.shape[0]):
+                w.write_data(t, {"prediction": preds[k, : raw.num_nodes]})
+                t += dt
+
     def _save_rollout_xdmf(self, val_dataset, traj: int, preds: np.ndarray, epoch: int):
-        """Write the predicted trajectory as an XDMF time series (reference
-        ``_save_trajectory_to_xdmf``, ``lightning_module.py:124-161``)."""
         try:
-            raw = val_dataset._load(val_dataset.trajectory_indices(traj)[0])
-            cells = raw.tetra if raw.tetra is not None else raw.faces
-            n = raw.num_nodes
             save_dir = os.path.join(self.rollout_dir, f"epoch_{epoch}")
             os.makedirs(save_dir, exist_ok=True)
-            name = raw.id if raw.id else str(traj)
-            path = os.path.join(save_dir, f"graph_epoch_{epoch}_{name}.xdmf")
-            dt = getattr(val_dataset, "dt", 1.0) or 1.0
-            with XdmfTimeSeriesWriter(path) as w:
-                w.write_points_cells(raw.pos, cells)
-                t = dt if not self.use_previous_data else 2 * dt
-                for k in range(preds.shape[0]):
-                    w.write_data(t, {"prediction": preds[k, :n]})
-                    t += dt
+            self._write_rollout_series(
+                val_dataset, traj, preds,
+                lambda name: os.path.join(
+                    save_dir, f"graph_epoch_{epoch}_{name}.xdmf"
+                ),
+            )
         except Exception as e:  # export must never kill training
             print(f"[trainer] rollout export failed: {e}")
 
@@ -660,7 +708,7 @@ class Trainer:
         n_traj = dataset.size_dataset
         if max_trajectories is not None:
             n_traj = min(n_traj, max_trajectories)
-        rng = jax.random.key(self.seed)
+        base = jax.random.key(self.seed)
         out = []
         os.makedirs(save_dir, exist_ok=True)
         mesh = self._validation_mesh(n_traj)
@@ -669,16 +717,15 @@ class Trainer:
         traj = 0
         while traj < n_traj:
             idxs = list(range(traj, min(traj + group, n_traj)))
-            rng, sub = jax.random.split(rng)
+            keys = [jax.random.fold_in(base, t) for t in idxs]
             chunk = None
             if len(idxs) > 1:
                 chunk = self._batched_chunk_rollout(
-                    variables, dataset, idxs, sub, mesh
+                    variables, dataset, idxs, keys, mesh
                 )
             if chunk is not None:
                 preds_list = [np.asarray(p) for (_, _, p, _) in chunk]
             else:
-                keys = jax.random.split(sub, len(idxs))
                 preds_list = []
                 for t, k in zip(idxs, keys):
                     frames = jax.device_put(
@@ -693,23 +740,12 @@ class Trainer:
                     preds_list.append(np.asarray(preds))
             for t, preds in zip(idxs, preds_list):
                 out.append(preds)
-                self._save_prediction_xdmf(dataset, t, preds, save_dir)
+                self._write_rollout_series(
+                    dataset, t, preds,
+                    lambda name: os.path.join(save_dir, f"graph_{name}.xdmf"),
+                )
             traj = idxs[-1] + 1
         return out
-
-    def _save_prediction_xdmf(self, dataset, traj, preds, save_dir):
-        raw = dataset._load(dataset.trajectory_indices(traj)[0])
-        cells = raw.tetra if raw.tetra is not None else raw.faces
-        name = raw.id if raw.id else str(traj)
-        dt = getattr(dataset, "dt", 1.0) or 1.0
-        with XdmfTimeSeriesWriter(
-            os.path.join(save_dir, f"graph_{name}.xdmf")
-        ) as w:
-            w.write_points_cells(raw.pos, cells)
-            t = dt if not self.use_previous_data else 2 * dt
-            for k in range(preds.shape[0]):
-                w.write_data(t, {"prediction": preds[k, : raw.num_nodes]})
-                t += dt
 
     # ---------------------------------------------------------------- misc
 

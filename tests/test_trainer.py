@@ -458,6 +458,54 @@ def test_parallel_validation_matches_sequential(cylinder_env):
     assert vloss_par == pytest.approx(vloss_seq, rel=1e-5)
 
 
+def test_parallel_predict_matches_sequential(cylinder_env, tmp_path):
+    """predict()'s chunked parallel path must return the same per-trajectory
+    prediction arrays (and write the same XDMF files) as the sequential
+    path."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    tmp, param = cylinder_env
+    trainer, loader, val_ds = _make(param, tmp)
+    trainer.fit(loader, num_epochs=1)
+
+    trainer.parallel_validation = False
+    seq = trainer.predict(val_ds, save_dir=str(tmp_path / "seq"))
+    trainer.parallel_validation = True
+    par = trainer.predict(val_ds, save_dir=str(tmp_path / "par"))
+
+    assert len(seq) == len(par) == val_ds.size_dataset
+    for a, b in zip(seq, par):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    assert sorted(os.listdir(tmp_path / "seq")) == sorted(
+        os.listdir(tmp_path / "par")
+    )
+
+
+def test_parallel_validation_gmm_matches_sequential(cylinder_env):
+    """Per-trajectory PRNG keys fold in the trajectory index, so even the
+    STOCHASTIC GMM eval sampling agrees between the parallel and sequential
+    validation paths (grouping-invariant streams)."""
+    import copy
+
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    tmp, param = cylinder_env
+    gparam = copy.deepcopy(param)
+    gparam["model"]["num_mixture_components"] = 2
+    trainer, loader, val_ds = _make(gparam, tmp)
+    trainer.init_state(loader.peek(), num_steps=10)
+
+    trainer.parallel_validation = False
+    rmse_seq = trainer.validate(val_ds, save_rollout=False)
+    trainer.parallel_validation = True
+    rmse_par = trainer.validate(val_ds, save_rollout=False)
+    assert rmse_par == pytest.approx(rmse_seq, rel=1e-5)
+
+
 def test_cosine_warmup_schedule_shape_and_clamp():
     """Reference CosineWarmupScheduler semantics (graphphysics/utils/
     scheduler.py:41-67): linear warmup MULTIPLIED by the cosine, 1e-3 floor —
