@@ -115,27 +115,29 @@ def main(argv=None) -> int:
     )
     # unify static shapes to the max over BOTH splits (a val trajectory may
     # be larger than every train trajectory); budgets materialize lazily, so
-    # touch one item of each first
+    # touch one item of each first. Size-bucketed datasets skip this: every
+    # trajectory pads to its own bucket, so no split can exceed a budget.
     _ = train_ds[0]
     _ = val_ds[0]
-    nb = max(train_ds.node_budget, val_ds.node_budget)
-    eb = None
-    if train_ds.edge_budget or val_ds.edge_budget:
-        eb = max(train_ds.edge_budget or 0, val_ds.edge_budget or 0)
-    train_ds.node_budget = val_ds.node_budget = nb
-    train_ds.edge_budget = val_ds.edge_budget = eb
-    if train_ds.ell_degree or val_ds.ell_degree:
-        d = max(train_ds.ell_degree or 0, val_ds.ell_degree or 0)
-        train_ds.ell_degree = val_ds.ell_degree = d
-    if train_ds.edge_layout == "csr" or val_ds.edge_layout == "csr":
-        # the per-split chunk budgets were fixed under pre-unification
-        # node/edge budgets; re-derive them under the unified shapes, then
-        # share the max so both splits pad identically
-        train_ds.csr_max_chunks = val_ds.csr_max_chunks = None
-        _ = train_ds[0]
-        _ = val_ds[0]
-        mc = max(train_ds.csr_max_chunks or 0, val_ds.csr_max_chunks or 0)
-        train_ds.csr_max_chunks = val_ds.csr_max_chunks = mc
+    if train_ds.num_buckets <= 1 and val_ds.num_buckets <= 1:
+        nb = max(train_ds.node_budget, val_ds.node_budget)
+        eb = None
+        if train_ds.edge_budget or val_ds.edge_budget:
+            eb = max(train_ds.edge_budget or 0, val_ds.edge_budget or 0)
+        train_ds.node_budget = val_ds.node_budget = nb
+        train_ds.edge_budget = val_ds.edge_budget = eb
+        if train_ds.ell_degree or val_ds.ell_degree:
+            d = max(train_ds.ell_degree or 0, val_ds.ell_degree or 0)
+            train_ds.ell_degree = val_ds.ell_degree = d
+        if train_ds.edge_layout == "csr" or val_ds.edge_layout == "csr":
+            # the per-split chunk budgets were fixed under pre-unification
+            # node/edge budgets; re-derive them under the unified shapes,
+            # then share the max so both splits pad identically
+            train_ds.csr_max_chunks = val_ds.csr_max_chunks = None
+            _ = train_ds[0]
+            _ = val_ds[0]
+            mc = max(train_ds.csr_max_chunks or 0, val_ds.csr_max_chunks or 0)
+            train_ds.csr_max_chunks = val_ds.csr_max_chunks = mc
     loader = GraphLoader(
         train_ds,
         batch_size=args.batch_size,

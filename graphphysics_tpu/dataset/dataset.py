@@ -59,6 +59,7 @@ class BaseDataset(abc.ABC):
         edge_layout: str = "coo",
         ell_degree: Optional[int] = None,
         csr_max_chunks: Optional[int] = None,
+        num_buckets: int = 1,
     ):
         with open(meta_path, "r") as fp:
             self.meta: Dict[str, Any] = json.load(fp)
@@ -81,6 +82,26 @@ class BaseDataset(abc.ABC):
         self.edge_layout = edge_layout
         self.ell_degree = ell_degree
         self.csr_max_chunks = csr_max_chunks  # static chunk budget
+        # size buckets (SURVEY.md §7.1 "pad nodes/edges to bucket
+        # boundaries"): heterogeneous-size datasets pad each trajectory to
+        # the smallest of `num_buckets` budgets instead of the global max —
+        # one compiled step per bucket, far less padding compute. The loader
+        # groups batches by bucket (GraphLoader keeps every batch one shape).
+        if num_buckets > 1:
+            if edge_layout != "coo":
+                raise ValueError(
+                    "num_buckets > 1 requires edge_layout='coo' (the "
+                    "csr/ell static layouts assume one global budget)"
+                )
+            if node_budget is not None or edge_budget is not None:
+                raise ValueError(
+                    "num_buckets > 1 derives per-bucket budgets; don't also "
+                    "pass node_budget/edge_budget"
+                )
+        self.num_buckets = num_buckets
+        self._bucket_node_budgets: Optional[List[int]] = None
+        self._bucket_edge_budgets: Optional[List[int]] = None
+        self._traj_bucket: Optional[np.ndarray] = None
         self._epoch = 0
 
         self.world_pos_index_start = None
@@ -235,8 +256,81 @@ class BaseDataset(abc.ABC):
         mask[keep] = True
         return mask
 
+    def _materialize_buckets(self) -> bool:
+        """Build the per-trajectory bucket assignment from the node-count
+        scan; returns False (and collapses to the single global budget) when
+        the format can't scan counts or all trajectories are one size."""
+        if self._traj_bucket is not None:
+            return True
+        if self.num_buckets <= 1:
+            return False
+        counts = self.scan_node_counts()
+        if not counts or len(set(counts)) == 1:
+            self.num_buckets = 1
+            return False
+        rounded = [round_up(c, self.bucket_multiple) for c in counts]
+        budgets = sorted(set(rounded))
+        if len(budgets) > self.num_buckets:
+            # spread the kept budgets across the sorted distinct sizes; the
+            # largest is always kept so nothing can overflow
+            pos = np.linspace(0, len(budgets) - 1, self.num_buckets)
+            budgets = sorted({budgets[int(round(p))] for p in pos})
+        self._bucket_node_budgets = budgets
+        self._traj_bucket = np.searchsorted(np.array(budgets), np.array(rounded))
+        self.num_buckets = len(budgets)
+        return True
+
+    def bucket_of_index(self, index: int) -> int:
+        """Bucket id of a flat item index (0 for un-bucketed datasets) —
+        the loader groups batches by this so every batch is one shape."""
+        if not self._materialize_buckets():
+            return 0
+        traj, _ = self.get_traj_frame(index)
+        return int(self._traj_bucket[traj])
+
+    def _bucket_budgets(self, sample: RawSample) -> tuple:
+        b = int(self._traj_bucket[sample.traj_index])
+        if self._bucket_edge_budgets is None:
+            # extrapolate the FIRST sample's edges-per-node to every bucket
+            # (same caveat as the global budget: degree-heterogeneous data
+            # should raise edge_headroom; overflow raises loudly)
+            per_node = sample.num_edges / max(sample.num_nodes, 1)
+            self._bucket_edge_budgets = [
+                round_up(
+                    int(per_node * nb * self.edge_headroom),
+                    self.bucket_multiple,
+                )
+                for nb in self._bucket_node_budgets
+            ]
+        return self._bucket_node_budgets[b], self._bucket_edge_budgets[b]
+
     def _pad(self, sample: RawSample, exclude: Optional[np.ndarray]) -> Graph:
         n, e = sample.num_nodes, sample.num_edges
+        if self._materialize_buckets():
+            nb, eb = self._bucket_budgets(sample)
+            if n > nb:
+                raise ValueError(f"sample exceeds bucket node budget: {n}>{nb}")
+            if e > eb:
+                raise ValueError(
+                    f"sample exceeds bucket edge budget: {e}>{eb}; raise "
+                    f"edge_headroom"
+                )
+            graph = pad_graph_np(
+                sample.x,
+                sample.pos,
+                sample.senders,
+                sample.receivers,
+                n_pad=nb,
+                e_pad=eb,
+                edge_attr=sample.edge_attr,
+                y=sample.y,
+                node_type_index=self.node_type_index,
+            )
+            if exclude is not None:
+                padded = np.zeros(nb, dtype=bool)
+                padded[: len(exclude)] = exclude
+                graph = graph.replace(exclude_mask=padded)
+            return graph
         if self.node_budget is None:
             counts = self.scan_node_counts()
             # no preprocessing step changes the node count, so the max raw

@@ -46,6 +46,7 @@ class GraphLoader:
         self.collate = collate
         self._epoch = 0
         self._start_batch = 0
+        self._bucket_ids_cache: Optional[np.ndarray] = None
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
@@ -58,16 +59,39 @@ class GraphLoader:
         per (seed, epoch, index), so the stream continues bit-identically)."""
         self._start_batch = int(batch)
 
-    def __len__(self) -> int:
-        n = len(self.dataset)
+    def _bucket_ids(self) -> Optional[np.ndarray]:
+        """Per-item bucket ids for size-bucketed datasets, or None. Cached:
+        the assignment is immutable once the dataset materializes it."""
+        if self._bucket_ids_cache is not None:
+            return self._bucket_ids_cache
+        ds = self.dataset
+        if getattr(ds, "num_buckets", 1) <= 1 or not hasattr(
+            ds, "bucket_of_index"
+        ):
+            return None
+        ids = np.array([ds.bucket_of_index(i) for i in range(len(ds))])
+        if getattr(ds, "num_buckets", 1) <= 1:  # collapsed on materialization
+            return None
+        self._bucket_ids_cache = ids
+        return ids
+
+    def _num_chunks(self, count: int) -> int:
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            return count // self.batch_size
+        return (count + self.batch_size - 1) // self.batch_size
+
+    def __len__(self) -> int:
+        ids = self._bucket_ids()
+        if ids is None:
+            return self._num_chunks(len(self.dataset))
+        return sum(
+            self._num_chunks(int((ids == b).sum())) for b in np.unique(ids)
+        )
 
     def peek(self) -> Graph:
         """Build the first batch synchronously (no prefetch thread) — for
         shape/parameter initialization without leaking a producer thread."""
-        idx = self._order()[: self.batch_size]
+        idx = self._batch_chunks()[0]
         return self._collate([self.dataset[int(i)] for i in idx])
 
     def _order(self) -> np.ndarray:
@@ -79,23 +103,46 @@ class GraphLoader:
             rng.shuffle(idx)
         return idx
 
+    def _batch_chunks(self) -> list:
+        """Deterministic per-(seed, epoch) list of index chunks, one per
+        batch. Size-bucketed datasets group same-bucket items so every batch
+        is one static shape (one compiled step per bucket), then shuffle the
+        BATCH order; un-bucketed datasets chunk the shuffled order exactly as
+        before."""
+        order = self._order()
+        bs = self.batch_size
+        ids = self._bucket_ids()
+        if ids is None:
+            n = self._num_chunks(len(self.dataset))
+            return [order[b * bs : (b + 1) * bs] for b in range(n)]
+        oid = ids[order]
+        chunks = []
+        for b in np.unique(oid):
+            sel = order[oid == b]
+            chunks += [
+                sel[j * bs : (j + 1) * bs]
+                for j in range(self._num_chunks(len(sel)))
+            ]
+        if self.shuffle:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self._epoch, 1])
+            )
+            chunks = [chunks[int(p)] for p in rng.permutation(len(chunks))]
+        return chunks
+
     def _collate(self, graphs) -> Graph:
         if self.collate == "stack":
             return stack_graphs(graphs)
         return concat_graphs(graphs)
 
     def _batches(self, pool=None) -> Iterator[Graph]:
-        order = self._order()
-        n = len(self)
+        chunks = self._batch_chunks()
         start, self._start_batch = self._start_batch, 0  # one-shot
         if self.num_workers > 0:
-            yield from self._batches_multiprocess(order, n, pool, start)
+            yield from self._batches_multiprocess(chunks, pool, start)
             return
-        for b in range(start, n):
-            chunk = order[b * self.batch_size : (b + 1) * self.batch_size]
-            if len(chunk) == 0:
-                return
-            graphs = [self.dataset[int(i)] for i in chunk]
+        for b in range(start, len(chunks)):
+            graphs = [self.dataset[int(i)] for i in chunks[b]]
             yield self._collate(graphs)
 
     def _materialize_static_shapes(self, order) -> None:
@@ -131,20 +178,20 @@ class GraphLoader:
             initargs=(self.dataset,),
         )
 
-    def _batches_multiprocess(self, order, n, pool, start=0) -> Iterator[Graph]:
+    def _batches_multiprocess(self, chunks, pool, start=0) -> Iterator[Graph]:
         """Worker PROCESSES build items in parallel (the role of the
         reference's DataLoader workers, train.py:133-161 — including for h5,
         which the reference forces to 0 workers; our H5Dataset reopens its
         file handle per process). Items are prefetched ``prefetch`` batches
         ahead and yielded in order."""
         window = max(self.prefetch, 1) + 1
+        n = len(chunks)
         with pool:
             pending = {}
 
             def submit(b):
-                chunk = order[b * self.batch_size : (b + 1) * self.batch_size]
                 pending[b] = [
-                    pool.submit(_worker_get, int(i)) for i in chunk
+                    pool.submit(_worker_get, int(i)) for i in chunks[b]
                 ]
 
             for b in range(start, min(start + window, n)):
@@ -157,7 +204,11 @@ class GraphLoader:
 
     def __iter__(self) -> Iterator[Graph]:
         # worker pool (if any) is created in the MAIN thread, pre-fork-safe
-        pool = self._make_pool(self._order()) if self.num_workers > 0 else None
+        pool = (
+            self._make_pool(self._batch_chunks()[0])
+            if self.num_workers > 0
+            else None
+        )
         if self.prefetch <= 0:
             yield from self._batches(pool)
             return

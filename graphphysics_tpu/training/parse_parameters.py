@@ -153,6 +153,11 @@ def get_dataset(
 
     if "edge_layout" not in budget_kwargs and dataset_params.get("edge_layout"):
         budget_kwargs["edge_layout"] = dataset_params["edge_layout"]
+    if "num_buckets" not in budget_kwargs and dataset_params.get("num_buckets"):
+        budget_kwargs["num_buckets"] = int(dataset_params["num_buckets"])
+    for k in ("bucket_multiple", "edge_headroom"):
+        if k not in budget_kwargs and dataset_params.get(k):
+            budget_kwargs[k] = dataset_params[k]
     common = dict(
         meta_path=dataset_params["meta_path"],
         preprocessing=preprocessing,

@@ -68,14 +68,18 @@ def synth_velocity(points: np.ndarray, t: float) -> np.ndarray:
     return np.stack([u, v], axis=1).astype(np.float32)
 
 
-def write_cylinder_h5(dirpath: str, num_traj=2, steps=12, nx=12, ny=8):
-    """CylinderFlow-schema h5 + meta.json; returns (h5_path, meta_path)."""
+def write_cylinder_h5(dirpath: str, num_traj=2, steps=12, nx=12, ny=8,
+                      grids=None):
+    """CylinderFlow-schema h5 + meta.json; returns (h5_path, meta_path).
+    ``grids``: optional per-trajectory ``(nx, ny)`` list for heterogeneous
+    mesh sizes (the size-bucketing regime; the schema's ``-1`` node dims
+    already allow it, like the real aneurysm/bezier datasets)."""
     os.makedirs(dirpath, exist_ok=True)
-    points, tris = triangulated_grid(nx, ny)
-    n, c = len(points), len(tris)
+    grids = list(grids) if grids is not None else [(nx, ny)] * num_traj
     h5_path = os.path.join(dirpath, "train.h5")
     with h5py.File(h5_path, "w") as f:
-        for tr in range(num_traj):
+        for tr, (gx, gy) in enumerate(grids):
+            points, tris = triangulated_grid(gx, gy)
             g = f.create_group(str(tr))
             g["cells"] = np.repeat(tris[None], steps, axis=0)
             g["mesh_pos"] = np.repeat(points[None], steps, axis=0)

@@ -1,0 +1,127 @@
+"""Size-bucketed padding (SURVEY.md §7.1 "pad nodes/edges to bucket
+boundaries"): heterogeneous-size trajectories pad to per-bucket budgets
+instead of the global max, and the loader keeps every batch one shape."""
+
+import numpy as np
+import pytest
+
+from graphphysics_tpu.dataset import GraphLoader
+from graphphysics_tpu.training.parse_parameters import (
+    get_dataset,
+    get_preprocessing,
+)
+from graphphysics_tpu.training.trainer import Trainer
+from tests.fixtures import write_cylinder_h5
+
+# two distinct mesh sizes: 6x5=30 and 14x10=140 nodes
+GRIDS = [(6, 5), (6, 5), (14, 10), (14, 10)]
+
+
+def _param(h5_path, meta_path, num_buckets=2):
+    return {
+        "dataset": {"extension": "h5", "h5_path": h5_path,
+                    "meta_path": meta_path, "khop": 1,
+                    "num_buckets": num_buckets},
+        "model": {"type": "epd", "message_passing_num": 1, "hidden_size": 8,
+                  "node_input_size": 2, "output_size": 2,
+                  "edge_input_size": 3},
+        "index": {"feature_index_start": 0, "feature_index_end": 2,
+                  "output_index_start": 0, "output_index_end": 2,
+                  "node_type_index": 2},
+        "transformations": {
+            "preprocessing": {"noise": 0.02, "noise_index_start": [0],
+                              "noise_index_end": [2], "masking": 0},
+            "world_pos_parameters": {"use": False},
+        },
+    }
+
+
+@pytest.fixture(scope="module")
+def mixed_env(tmp_path_factory):
+    d = tmp_path_factory.mktemp("buckets")
+    h5_path, meta_path = write_cylinder_h5(str(d), steps=6, grids=GRIDS)
+    return h5_path, meta_path
+
+
+def _make_ds(mixed_env, **kw):
+    h5_path, meta_path = mixed_env
+    param = _param(h5_path, meta_path)
+    param["dataset"].update(kw)
+    return get_dataset(param, get_preprocessing(param)), param
+
+
+def test_bucket_assignment_and_item_shapes(mixed_env):
+    ds, _ = _make_ds(mixed_env, bucket_multiple=64)
+    small = ds[0]  # trajectory 0 (30 nodes)
+    big = ds[ds.trajectory_indices(2)[0]]  # trajectory 2 (140 nodes)
+    assert small.x.shape[0] == 64
+    assert big.x.shape[0] == 192
+    assert small.senders.shape[0] < big.senders.shape[0]
+    assert ds.num_buckets == 2
+    assert ds.bucket_of_index(0) == 0
+    assert ds.bucket_of_index(ds.trajectory_indices(2)[0]) == 1
+    # real rows intact under the smaller budget
+    assert int(small.node_mask.sum()) == 30
+    assert int(big.node_mask.sum()) == 140
+
+
+def test_bucket_budget_reduction_to_requested_count(mixed_env):
+    # 2 distinct sizes but only 1 bucket requested -> single global budget
+    ds, _ = _make_ds(mixed_env, num_buckets=1)
+    assert ds[0].x.shape == ds[ds.trajectory_indices(2)[0]].x.shape
+
+
+def test_bucket_collapse_on_uniform_sizes(tmp_path):
+    h5_path, meta_path = write_cylinder_h5(str(tmp_path), num_traj=2, steps=4,
+                                           nx=6, ny=5)
+    param = _param(h5_path, meta_path, num_buckets=4)
+    ds = get_dataset(param, get_preprocessing(param))
+    _ = ds[0]
+    assert ds.num_buckets == 1  # collapsed; global budget path
+    assert ds.node_budget is not None
+
+
+def test_loader_groups_batches_by_bucket(mixed_env):
+    ds, _ = _make_ds(mixed_env, bucket_multiple=64)
+    loader = GraphLoader(ds, batch_size=2, shuffle=True, prefetch=0, seed=3)
+    # 4 traj x 5 frames = 20 items, 10 per bucket -> 5 + 5 batches
+    assert len(loader) == 10
+    seen = {64: 0, 192: 0}
+    for epoch in range(2):
+        loader.set_epoch(epoch)
+        shapes = []
+        for batch in loader:
+            # concat collate: one flat graph; its node count reveals the
+            # bucket, and concat only succeeds for same-shape members
+            n = batch.x.shape[0] // 2
+            assert n in seen
+            seen[n] += 1
+            shapes.append(n)
+        assert sorted(set(shapes)) == [64, 192]
+    assert seen[64] == seen[192] == 10
+
+
+def test_bucketed_fit_and_validation_e2e(mixed_env, tmp_path):
+    """Trainer fit + rollout validation over a mixed-size dataset: one
+    compiled step per bucket, sequential-fallback validation across buckets
+    (trajectory shapes differ), finite and decreasing losses."""
+    import shutil, os
+
+    h5_path, meta_path = mixed_env
+    d = str(tmp_path / "run")
+    os.makedirs(d)
+    shutil.copy(h5_path, os.path.join(d, "data.h5"))
+    shutil.copy(h5_path, os.path.join(d, "test.h5"))
+    param = _param(os.path.join(d, "data.h5"), meta_path)
+    train_ds = get_dataset(param, get_preprocessing(param))
+    val_ds = get_dataset(param, get_preprocessing(param, remove_noise=True),
+                         switch_to_val=True)
+    loader = GraphLoader(train_ds, batch_size=2, shuffle=True, prefetch=0)
+    trainer = Trainer(
+        param, learning_rate=1e-3, warmup=2,
+        checkpoint_dir=str(tmp_path / "ckpt"), metrics_path=None,
+        rollout_dir=str(tmp_path / "meshes"), log_every=100,
+    )
+    hist = trainer.fit(loader, val_dataset=val_ds, num_epochs=2)
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+    assert all(np.isfinite(v) for v in hist["val_rmse"])
