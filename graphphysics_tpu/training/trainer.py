@@ -477,6 +477,29 @@ class Trainer:
             return None
         return mesh
 
+    def _traj_chunks(self, dataset, n_traj: int, group: int):
+        """Per-rollout-chunk trajectory index lists. Size-bucketed datasets
+        group chunks by bucket (same padded shapes) so mixed-size datasets
+        still parallelize; metric accumulation is order-invariant sums."""
+        if (
+            group > 1
+            and getattr(dataset, "num_buckets", 1) > 1
+            and hasattr(dataset, "bucket_of_index")
+        ):
+            by_bucket: Dict[int, list] = {}
+            for t in range(n_traj):
+                b = dataset.bucket_of_index(dataset.trajectory_indices(t)[0])
+                by_bucket.setdefault(b, []).append(t)
+            chunks = []
+            for b in sorted(by_bucket):
+                lst = by_bucket[b]
+                chunks += [lst[i : i + group] for i in range(0, len(lst), group)]
+            return chunks
+        return [
+            list(range(i, min(i + group, n_traj)))
+            for i in range(0, n_traj, group)
+        ]
+
     def _traj_signature(self, dataset, traj: int):
         """Cheap can-these-trajectories-stack probe: frame count plus the
         first frame's pytree structure and leaf shapes (building one frame is
@@ -631,9 +654,7 @@ class Trainer:
         mesh = self._validation_mesh(n_traj)
         group = mesh.devices.size if mesh is not None else 1
 
-        traj = 0
-        while traj < n_traj:
-            idxs = list(range(traj, min(traj + group, n_traj)))
+        for idxs in self._traj_chunks(val_dataset, n_traj, group):
             keys = [jax.random.fold_in(base, t) for t in idxs]
             results = None
             if len(idxs) > 1:
@@ -655,7 +676,6 @@ class Trainer:
                         self._save_rollout_xdmf(val_dataset, 0, preds, epoch)
                     if self.plot_callback is not None:
                         self.plot_callback(self, val_dataset, epoch, preds)
-            traj = idxs[-1] + 1
         # epoch-mean val_loss (None for GMM heads, as in the reference)
         self.last_val_loss = vloss_sum / vloss_cnt if vloss_cnt else None
         return float(np.sqrt(total_se / max(total_cnt, 1.0)))
@@ -709,14 +729,12 @@ class Trainer:
         if max_trajectories is not None:
             n_traj = min(n_traj, max_trajectories)
         base = jax.random.key(self.seed)
-        out = []
+        out: Dict[int, np.ndarray] = {}
         os.makedirs(save_dir, exist_ok=True)
         mesh = self._validation_mesh(n_traj)
         group = mesh.devices.size if mesh is not None else 1
 
-        traj = 0
-        while traj < n_traj:
-            idxs = list(range(traj, min(traj + group, n_traj)))
+        for idxs in self._traj_chunks(dataset, n_traj, group):
             keys = [jax.random.fold_in(base, t) for t in idxs]
             chunk = None
             if len(idxs) > 1:
@@ -739,13 +757,12 @@ class Trainer:
                     )
                     preds_list.append(np.asarray(preds))
             for t, preds in zip(idxs, preds_list):
-                out.append(preds)
+                out[t] = preds
                 self._write_rollout_series(
                     dataset, t, preds,
                     lambda name: os.path.join(save_dir, f"graph_{name}.xdmf"),
                 )
-            traj = idxs[-1] + 1
-        return out
+        return [out[t] for t in range(n_traj)]
 
     # ---------------------------------------------------------------- misc
 

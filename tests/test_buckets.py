@@ -125,3 +125,18 @@ def test_bucketed_fit_and_validation_e2e(mixed_env, tmp_path):
     hist = trainer.fit(loader, val_dataset=val_ds, num_epochs=2)
     assert hist["train_loss"][-1] < hist["train_loss"][0]
     assert all(np.isfinite(v) for v in hist["val_rmse"])
+
+    # bucket-grouped parallel validation chunks must reproduce the
+    # sequential metrics on the mixed-size dataset
+    import jax
+
+    if len(jax.devices()) >= 2:
+        trainer.parallel_validation = False
+        rmse_seq = trainer.validate(val_ds, save_rollout=False)
+        vloss_seq = trainer.last_val_loss
+        trainer.parallel_validation = True
+        rmse_par = trainer.validate(val_ds, save_rollout=False)
+        chunks = trainer._traj_chunks(val_ds, val_ds.size_dataset, 8)
+        assert chunks == [[0, 1], [2, 3]]  # grouped by bucket
+        assert rmse_par == pytest.approx(rmse_seq, rel=1e-5)
+        assert trainer.last_val_loss == pytest.approx(vloss_seq, rel=1e-5)
