@@ -57,6 +57,14 @@ class MultihostGraphLoader:
     the global batch."""
 
     def __init__(self, dataset, per_host_batch: int, mesh, shuffle=True, seed=0):
+        if getattr(dataset, "num_buckets", 1) > 1:
+            # hosts assemble ONE global stacked batch per step — mixed-shape
+            # buckets can't stack across hosts; pad to the global budget
+            raise ValueError(
+                "MultihostGraphLoader does not support size-bucketed "
+                "datasets (num_buckets > 1): the global batch must be one "
+                "static shape across hosts — use num_buckets=1"
+            )
         self.dataset = dataset
         self.per_host_batch = per_host_batch
         self.mesh = mesh
