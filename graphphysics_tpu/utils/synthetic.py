@@ -266,19 +266,22 @@ def write_plate_press_h5(
     return h5_path, meta_path
 
 
-def write_aneurysm_xdmf(dirpath: str, num_traj=2, steps=9, n=4):
-    """Aneurysm-schema xdmf folder (tetra, Vitesse + wall_mask) + meta.json."""
+def write_aneurysm_xdmf(dirpath: str, num_traj=2, steps=9, n=4, sizes=None):
+    """Aneurysm-schema xdmf folder (tetra, Vitesse + wall_mask) + meta.json.
+    ``sizes``: optional per-trajectory tet-grid resolution list for
+    heterogeneous mesh sizes (the size-bucketing regime)."""
     os.makedirs(dirpath, exist_ok=True)
-    points, tets = tet_grid(n)
-    # shift so the inflow/outflow plane y == 0 exists and x spans +-0.5
-    points = points - np.array([0.5, 0.0, 0.0], np.float32)
-    wall = (
-        (points[:, 0] == points[:, 0].min())
-        | (points[:, 0] == points[:, 0].max())
-        | (points[:, 2] == points[:, 2].min())
-        | (points[:, 2] == points[:, 2].max())
-    ).astype(np.float32)
-    for tr in range(num_traj):
+    sizes = list(sizes) if sizes is not None else [n] * num_traj
+    for tr, nn in enumerate(sizes):
+        points, tets = tet_grid(nn)
+        # shift so the inflow/outflow plane y == 0 exists and x spans +-0.5
+        points = points - np.array([0.5, 0.0, 0.0], np.float32)
+        wall = (
+            (points[:, 0] == points[:, 0].min())
+            | (points[:, 0] == points[:, 0].max())
+            | (points[:, 2] == points[:, 2].min())
+            | (points[:, 2] == points[:, 2].max())
+        ).astype(np.float32)
         fn = os.path.join(dirpath, f"mesh_{tr}.xdmf")
         with XdmfTimeSeriesWriter(fn) as w:
             w.write_points_cells(points.astype(np.float64), tets, cell_type="tetra")

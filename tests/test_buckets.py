@@ -101,6 +101,53 @@ def test_loader_groups_batches_by_bucket(mixed_env):
     assert seen[64] == seen[192] == 10
 
 
+def test_xdmf_bucket_assignment(tmp_path):
+    """XDMF datasets scan per-file node counts for the bucket tables."""
+    from tests.fixtures import write_aneurysm_xdmf
+
+    folder, meta_path = write_aneurysm_xdmf(str(tmp_path), steps=4,
+                                            sizes=[3, 5])
+    param = {
+        "dataset": {"extension": "xdmf", "xdmf_folder": folder,
+                    "meta_path": meta_path, "khop": 1, "num_buckets": 2,
+                    # tet grids are degree-heterogeneous across sizes (surface/
+                    # volume ratio): the cross-bucket edges-per-node
+                    # extrapolation needs slack, as the overflow error directs
+                    "bucket_multiple": 32, "edge_headroom": 1.6},
+        "model": {}, "index": {"feature_index_start": 0,
+                               "feature_index_end": 3,
+                               "output_index_start": 0, "output_index_end": 3,
+                               "node_type_index": 3},  # wall_mask column
+        "transformations": {
+            "preprocessing": {"noise": 0.0, "noise_index_start": [0],
+                              "noise_index_end": [3], "masking": 0},
+            "world_pos_parameters": {"use": False},
+        },
+    }
+    ds = get_dataset(param, get_preprocessing(param))
+    small = ds[0]
+    big = ds[ds.trajectory_indices(1)[0]]
+    assert ds.num_buckets == 2
+    assert small.x.shape[0] < big.x.shape[0]
+    # real node counts intact: tet_grid(3) -> 27 nodes, tet_grid(5) -> 125
+    assert int(small.node_mask.sum()) == 27
+    assert int(big.node_mask.sum()) == 125
+
+
+def test_bucketed_multiworker_loader(mixed_env):
+    """Worker processes inherit the materialized bucket tables (fork after
+    _materialize_static_shapes) and keep batches bucket-pure."""
+    ds, _ = _make_ds(mixed_env, bucket_multiple=64)
+    loader = GraphLoader(ds, batch_size=2, shuffle=True, prefetch=1,
+                         num_workers=2, seed=5)
+    shapes = set()
+    for batch in loader:
+        n = batch.x.shape[0] // 2
+        assert n in (64, 192)
+        shapes.add(n)
+    assert shapes == {64, 192}
+
+
 def test_bucketed_fit_and_validation_e2e(mixed_env, tmp_path):
     """Trainer fit + rollout validation over a mixed-size dataset: one
     compiled step per bucket, sequential-fallback validation across buckets

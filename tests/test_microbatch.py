@@ -91,6 +91,73 @@ def test_microbatch_respects_accumulation_cap():
         np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
 
 
+def test_microbatch_gmm_loss_parity():
+    """Gradient accumulation with the diagonal-GMM NLL head matches the
+    plain concat-batch GMM step."""
+    import optax
+
+    from graphphysics_tpu.core.graph import flatten_batched_graph, stack_graphs
+    from graphphysics_tpu.models.processors import EncodeProcessDecode
+    from graphphysics_tpu.models.simulator import Simulator, SimulatorConfig
+    from graphphysics_tpu.training.losses import diagonal_gmm_nll_loss
+    from tests.conftest import make_test_graph
+
+    K, d = 2, 2
+    graphs = [make_test_graph(seed=s) for s in range(4)]
+    stacked = jax.tree_util.tree_map(jnp.asarray, stack_graphs(graphs))
+    cfg = SimulatorConfig(
+        node_input_size=2 + NodeType.SIZE, edge_input_size=3, output_size=d,
+        feature_index_start=0, feature_index_end=2,
+        output_index_start=0, output_index_end=2, node_type_index=2,
+    )
+    model = EncodeProcessDecode(
+        message_passing_num=1, node_input_size=cfg.node_input_size,
+        edge_input_size=3, output_size=d, hidden_size=8,
+        num_mixture_components=K, use_diagonal=True,
+    )
+    sim = Simulator(config=cfg, model=model)
+    flat = flatten_batched_graph(stacked)
+    variables = sim.init({"params": jax.random.key(0)}, flat)
+    tx = optax.adamw(1e-3, b1=0.9, b2=0.95, weight_decay=1e-4)
+    state = {
+        "params": variables["params"],
+        "normalizer": variables["normalizer"],
+        "opt_state": tx.init(variables["params"]),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+    def ref_step(state, graph):
+        def loss_fn(p):
+            (out, tgt, _), mut = sim.apply(
+                {"params": p, "normalizer": state["normalizer"]}, graph,
+                is_training=True, mutable=["normalizer"],
+            )
+            nt = graph.x[:, 2].astype(jnp.int32)
+            loss = diagonal_gmm_nll_loss(
+                tgt, out, nt, MASKS, d=d, K=K, node_valid=graph.node_mask
+            )
+            return loss, mut["normalizer"]
+
+        (loss, norm), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"]
+        )
+        updates, opt = tx.update(grads, state["opt_state"], state["params"])
+        return optax.apply_updates(state["params"], updates), float(loss)
+
+    ref_params, ref_loss = ref_step(state, flat)
+    step = make_microbatch_train_step(
+        sim, tx, MASKS, loss_kind="diag_gmm", gmm_kwargs=dict(d=d, K=K)
+    )
+    new_state, loss = step(_copy_state(state), stacked)
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_state["params"]),
+        jax.tree_util.tree_leaves(ref_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
 def test_trainer_gradient_accumulation_fit(tmp_path):
     """Trainer(gradient_accumulation=True) trains with collate='stack' and
     decreases the loss (end-to-end wiring)."""
