@@ -150,6 +150,57 @@ def halo_strong_scaling(n=8192, e=49152, device_counts=None):
     }
 
 
+def rollout_weak_scaling(n=1024, e=6144, T=16, device_counts=None):
+    """Batched validation rollouts (``jitted_batched_rollout``): one
+    trajectory per device, weak scaling — efficiency = t(1)/t(k). The
+    reference validates strictly sequentially, so its cost is k*t(1)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from graphphysics_tpu.training.rollout import jitted_batched_rollout
+
+    sim = _sim()
+    g = _graph(n, e, seed=0)
+    variables = sim.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)}, g
+    )
+    variables = {
+        "params": variables["params"], "normalizer": variables["normalizer"]
+    }
+    frames_one = stack_graphs([_graph(n, e, seed=t) for t in range(T)])
+    results = {}
+    device_counts = device_counts or [1, 2, 4, 8]
+    for nd in device_counts:
+        if nd > len(jax.devices()):
+            break
+        mesh = make_mesh(nd)
+        batch = shard_batch(stack_graphs([frames_one] * nd), mesh)
+        keys = jax.device_put(
+            jax.random.split(jax.random.key(0), nd),
+            NamedSharding(mesh, P("data")),
+        )
+        rep = jax.device_put(variables, NamedSharding(mesh, P()))
+
+        def run():
+            preds, _ = jitted_batched_rollout(sim, rep, batch, keys)
+            return float(preds.sum())  # fetch-synced
+
+        run()  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        results[nd] = best
+        base = min(results)
+        print(f"rollout weak scaling {nd} dev ({nd} trajectories): "
+              f"{best*1e3:.2f} ms (eff {results[base]/best:.2%})")
+    base = min(results)
+    return {
+        "ms_per_rollout_batch": {k: v * 1e3 for k, v in results.items()},
+        "efficiency": {k: results[base] / v for k, v in results.items()},
+    }
+
+
 if __name__ == "__main__":
     print(f"devices: {len(jax.devices())} x {jax.devices()[0].platform}")
     out = {
@@ -157,5 +208,6 @@ if __name__ == "__main__":
         "platform": jax.devices()[0].platform,
         "dp_weak": dp_weak_scaling(),
         "halo_strong": halo_strong_scaling(),
+        "rollout_weak": rollout_weak_scaling(),
     }
     print(json.dumps(out, indent=2, default=str))
