@@ -180,16 +180,26 @@ def rollout_weak_scaling(n=1024, e=6144, T=16, device_counts=None):
         )
         rep = jax.device_put(variables, NamedSharding(mesh, P()))
 
-        def run():
-            preds, _ = jitted_batched_rollout(sim, rep, batch, keys)
-            return float(preds.sum())  # fetch-synced
+        depth = 4  # chained dependent rollouts (CLAUDE.md methodology:
+        # single dispatch+fetch timings carry ~50 ms tunnel RTT per call)
 
-        run()  # compile
+        def chain():
+            b, total = batch, None
+            for _ in range(depth):
+                preds, _ = jitted_batched_rollout(sim, rep, b, keys)
+                s = preds.sum()
+                total = s if total is None else total + s
+                # data-depend the next rollout on this one (same shapes:
+                # the jit cache still hits)
+                b = b.replace(x=b.x + s * 0)
+            return float(total)  # fetch-synced
+
+        chain()  # compile both input variants
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            run()
-            best = min(best, time.perf_counter() - t0)
+            chain()
+            best = min(best, (time.perf_counter() - t0) / depth)
         results[nd] = best
         base = min(results)
         print(f"rollout weak scaling {nd} dev ({nd} trajectories): "

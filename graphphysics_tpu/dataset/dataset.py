@@ -87,6 +87,12 @@ class BaseDataset(abc.ABC):
         # the smallest of `num_buckets` budgets instead of the global max —
         # one compiled step per bucket, far less padding compute. The loader
         # groups batches by bucket (GraphLoader keeps every batch one shape).
+        if bucket_multiple < 1:
+            raise ValueError(f"bucket_multiple must be >= 1, got {bucket_multiple}")
+        if edge_headroom < 1.0:
+            raise ValueError(f"edge_headroom must be >= 1.0, got {edge_headroom}")
+        if num_buckets < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
         if num_buckets > 1:
             if edge_layout != "coo":
                 raise ValueError(

@@ -69,15 +69,28 @@ class GraphLoader:
             ds, "bucket_of_index"
         ):
             return None
-        ids = np.array([ds.bucket_of_index(i) for i in range(len(ds))])
-        if getattr(ds, "num_buckets", 1) <= 1:  # collapsed on materialization
+        if len(ds):
+            ds.bucket_of_index(0)  # materialize (may collapse num_buckets)
+        if getattr(ds, "num_buckets", 1) <= 1:
             return None
+        traj_bucket = getattr(ds, "_traj_bucket", None)
+        per = getattr(ds, "frames_per_trajectory", None)
+        if traj_bucket is not None and per:
+            ids = np.repeat(np.asarray(traj_bucket), per)[: len(ds)]
+        else:
+            ids = np.array([ds.bucket_of_index(i) for i in range(len(ds))])
         self._bucket_ids_cache = ids
         return ids
 
-    def _num_chunks(self, count: int) -> int:
+    def _num_chunks(self, count: int, whole_bucket: bool = False) -> int:
+        """Batches for ``count`` items. ``whole_bucket``: a size bucket
+        smaller than one batch still yields its partial batch — dropping it
+        would silently exclude an entire mesh-size class from every epoch."""
         if self.drop_last:
-            return count // self.batch_size
+            n = count // self.batch_size
+            if whole_bucket and n == 0 and count > 0:
+                return 1
+            return n
         return (count + self.batch_size - 1) // self.batch_size
 
     def __len__(self) -> int:
@@ -85,13 +98,15 @@ class GraphLoader:
         if ids is None:
             return self._num_chunks(len(self.dataset))
         return sum(
-            self._num_chunks(int((ids == b).sum())) for b in np.unique(ids)
+            self._num_chunks(int((ids == b).sum()), whole_bucket=True)
+            for b in np.unique(ids)
         )
 
     def peek(self) -> Graph:
         """Build the first batch synchronously (no prefetch thread) — for
         shape/parameter initialization without leaking a producer thread."""
-        idx = self._batch_chunks()[0]
+        chunks = self._batch_chunks()
+        idx = chunks[0] if chunks else self._order()[: self.batch_size]
         return self._collate([self.dataset[int(i)] for i in idx])
 
     def _order(self) -> np.ndarray:
@@ -121,7 +136,7 @@ class GraphLoader:
             sel = order[oid == b]
             chunks += [
                 sel[j * bs : (j + 1) * bs]
-                for j in range(self._num_chunks(len(sel)))
+                for j in range(self._num_chunks(len(sel), whole_bucket=True))
             ]
         if self.shuffle:
             rng = np.random.default_rng(
@@ -135,8 +150,9 @@ class GraphLoader:
             return stack_graphs(graphs)
         return concat_graphs(graphs)
 
-    def _batches(self, pool=None) -> Iterator[Graph]:
-        chunks = self._batch_chunks()
+    def _batches(self, pool=None, chunks=None) -> Iterator[Graph]:
+        if chunks is None:
+            chunks = self._batch_chunks()
         start, self._start_batch = self._start_batch, 0  # one-shot
         if self.num_workers > 0:
             yield from self._batches_multiprocess(chunks, pool, start)
@@ -203,14 +219,14 @@ class GraphLoader:
                 yield self._collate(graphs)
 
     def __iter__(self) -> Iterator[Graph]:
+        chunks = self._batch_chunks()  # computed once per epoch
         # worker pool (if any) is created in the MAIN thread, pre-fork-safe
-        pool = (
-            self._make_pool(self._batch_chunks()[0])
-            if self.num_workers > 0
-            else None
-        )
+        pool = None
+        if self.num_workers > 0:
+            first = chunks[0] if chunks else self._order()[:1]
+            pool = self._make_pool(first)
         if self.prefetch <= 0:
-            yield from self._batches(pool)
+            yield from self._batches(pool, chunks)
             return
         # background-thread prefetch: overlaps host-side graph building /
         # padding with device compute (the role DataLoader workers play in
@@ -222,7 +238,7 @@ class GraphLoader:
 
         def producer():
             try:
-                for item in self._batches(pool):
+                for item in self._batches(pool, chunks):
                     while not stop.is_set():
                         try:
                             q.put(item, timeout=0.5)

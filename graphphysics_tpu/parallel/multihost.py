@@ -58,6 +58,11 @@ class MultihostGraphLoader:
 
     def __init__(self, dataset, per_host_batch: int, mesh, shuffle=True, seed=0):
         if getattr(dataset, "num_buckets", 1) > 1:
+            # materialize first: uniform-size / unscannable datasets collapse
+            # to a single bucket and are fine
+            if hasattr(dataset, "bucket_of_index") and len(dataset):
+                dataset.bucket_of_index(0)
+        if getattr(dataset, "num_buckets", 1) > 1:
             # hosts assemble ONE global stacked batch per step — mixed-shape
             # buckets can't stack across hosts; pad to the global budget
             raise ValueError(

@@ -153,10 +153,10 @@ def get_dataset(
 
     if "edge_layout" not in budget_kwargs and dataset_params.get("edge_layout"):
         budget_kwargs["edge_layout"] = dataset_params["edge_layout"]
-    if "num_buckets" not in budget_kwargs and dataset_params.get("num_buckets"):
-        budget_kwargs["num_buckets"] = int(dataset_params["num_buckets"])
-    for k in ("bucket_multiple", "edge_headroom"):
-        if k not in budget_kwargs and dataset_params.get(k):
+    for k in ("num_buckets", "bucket_multiple", "edge_headroom"):
+        # explicit None checks: a falsy 0 in the config must reach the
+        # dataset and fail its validation loudly, not be silently defaulted
+        if k not in budget_kwargs and dataset_params.get(k) is not None:
             budget_kwargs[k] = dataset_params[k]
     common = dict(
         meta_path=dataset_params["meta_path"],

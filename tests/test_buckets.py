@@ -134,6 +134,33 @@ def test_xdmf_bucket_assignment(tmp_path):
     assert int(big.node_mask.sum()) == 125
 
 
+def test_small_bucket_never_silently_dropped(mixed_env):
+    """drop_last must not delete an entire mesh-size class: a bucket smaller
+    than one batch still yields its partial batch."""
+    ds, _ = _make_ds(mixed_env, bucket_multiple=64)
+    # 10 items per bucket, batch_size 16 > bucket -> one partial batch each
+    loader = GraphLoader(ds, batch_size=16, shuffle=False, prefetch=0)
+    assert len(loader) == 2
+    batches = list(loader)
+    assert len(batches) == 2
+    per_node = sorted(b.x.shape[0] // 10 for b in batches)  # 10 items each
+    assert per_node == [64, 192]
+    # ... while a bucket with >= 1 full batch still drops its tail
+    loader8 = GraphLoader(ds, batch_size=8, shuffle=False, prefetch=0)
+    assert len(loader8) == 2  # 10 // 8 = 1 per bucket, tails dropped
+
+
+def test_peek_falls_back_when_no_full_batch(mixed_env):
+    """peek() must return a shape-init batch even when drop_last leaves no
+    chunks (dataset smaller than one batch) — Trainer.init_state relies on
+    it."""
+    ds, _ = _make_ds(mixed_env, num_buckets=1)
+    loader = GraphLoader(ds, batch_size=1000, shuffle=False, prefetch=0)
+    assert len(loader) == 0
+    g = loader.peek()
+    assert g.x.shape[0] > 0
+
+
 def test_bucketed_multiworker_loader(mixed_env):
     """Worker processes inherit the materialized bucket tables (fork after
     _materialize_static_shapes) and keep batches bucket-pure."""
