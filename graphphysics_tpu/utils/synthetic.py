@@ -266,13 +266,25 @@ def write_plate_press_h5(
     return h5_path, meta_path
 
 
-def write_aneurysm_xdmf(dirpath: str, num_traj=2, steps=9, n=4, sizes=None):
+def write_aneurysm_xdmf(dirpath: str, num_traj=2, steps=9, n=4, sizes=None,
+                        seed=None):
     """Aneurysm-schema xdmf folder (tetra, Vitesse + wall_mask) + meta.json.
     ``sizes``: optional per-trajectory tet-grid resolution list for
-    heterogeneous mesh sizes (the size-bucketing regime)."""
+    heterogeneous mesh sizes (the size-bucketing regime).
+    ``seed``: when set, randomize per-trajectory wave phase and amplitudes
+    (distinct initial conditions — for held-out validation splits); the
+    default keeps the original deterministic phase ramp."""
     os.makedirs(dirpath, exist_ok=True)
+    rng = np.random.default_rng(seed) if seed is not None else None
     sizes = list(sizes) if sizes is not None else [n] * num_traj
     for tr, nn in enumerate(sizes):
+        phase0 = 0.1 * tr if rng is None else float(rng.uniform(0.0, 1.0))
+        amp = (
+            np.array([1.0, 0.3, 0.1], np.float32)
+            if rng is None
+            else np.array([1.0, 0.3, 0.1], np.float32)
+            * rng.uniform(0.8, 1.2, size=3).astype(np.float32)
+        )
         points, tets = tet_grid(nn)
         # shift so the inflow/outflow plane y == 0 exists and x spans +-0.5
         points = points - np.array([0.5, 0.0, 0.0], np.float32)
@@ -286,12 +298,12 @@ def write_aneurysm_xdmf(dirpath: str, num_traj=2, steps=9, n=4, sizes=None):
         with XdmfTimeSeriesWriter(fn) as w:
             w.write_points_cells(points.astype(np.float64), tets, cell_type="tetra")
             for t in range(steps):
-                phase = 0.05 * (t + 2 * tr)
+                phase = 0.05 * t + phase0
                 vit = np.stack(
                     [
-                        np.sin(2 * np.pi * (points[:, 0] - phase)),
-                        0.3 * np.cos(2 * np.pi * (points[:, 1] - phase)),
-                        0.1 * np.sin(2 * np.pi * (points[:, 2] + phase)),
+                        amp[0] * np.sin(2 * np.pi * (points[:, 0] - phase)),
+                        amp[1] * np.cos(2 * np.pi * (points[:, 1] - phase)),
+                        amp[2] * np.sin(2 * np.pi * (points[:, 2] + phase)),
                     ],
                     axis=1,
                 ).astype(np.float32) * (1.0 - wall[:, None])
