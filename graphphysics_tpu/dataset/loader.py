@@ -62,25 +62,9 @@ class GraphLoader:
     def _bucket_ids(self) -> Optional[np.ndarray]:
         """Per-item bucket ids for size-bucketed datasets, or None. Cached:
         the assignment is immutable once the dataset materializes it."""
-        if self._bucket_ids_cache is not None:
-            return self._bucket_ids_cache
-        ds = self.dataset
-        if getattr(ds, "num_buckets", 1) <= 1 or not hasattr(
-            ds, "bucket_of_index"
-        ):
-            return None
-        if len(ds):
-            ds.bucket_of_index(0)  # materialize (may collapse num_buckets)
-        if getattr(ds, "num_buckets", 1) <= 1:
-            return None
-        traj_bucket = getattr(ds, "_traj_bucket", None)
-        per = getattr(ds, "frames_per_trajectory", None)
-        if traj_bucket is not None and per:
-            ids = np.repeat(np.asarray(traj_bucket), per)[: len(ds)]
-        else:
-            ids = np.array([ds.bucket_of_index(i) for i in range(len(ds))])
-        self._bucket_ids_cache = ids
-        return ids
+        if self._bucket_ids_cache is None:
+            self._bucket_ids_cache = dataset_bucket_ids(self.dataset)
+        return self._bucket_ids_cache
 
     def _num_chunks(self, count: int, whole_bucket: bool = False) -> int:
         """Batches for ``count`` items. ``whole_bucket``: a size bucket
@@ -275,6 +259,25 @@ class GraphLoader:
             # consumer abandoned mid-epoch (exception / break): unblock and
             # stop the producer so the worker pool is released
             stop.set()
+
+
+def dataset_bucket_ids(ds) -> Optional[np.ndarray]:
+    """Per-item bucket ids for a size-bucketed dataset, or None when the
+    dataset is un-bucketed (or its buckets collapse to one). Shared by
+    GraphLoader and MultihostGraphLoader so both group batches identically."""
+    if getattr(ds, "num_buckets", 1) <= 1 or not hasattr(ds, "bucket_of_index"):
+        return None
+    if len(ds):
+        ds.bucket_of_index(0)  # materialize (may collapse num_buckets)
+    if getattr(ds, "num_buckets", 1) <= 1:
+        return None
+    traj_bucket = getattr(ds, "_traj_bucket", None)
+    per = getattr(ds, "frames_per_trajectory", None)
+    if traj_bucket is not None and per:
+        ids = np.repeat(np.asarray(traj_bucket), per)[: len(ds)]
+    else:
+        ids = np.array([ds.bucket_of_index(i) for i in range(len(ds))])
+    return ids
 
 
 # -- worker-process globals: the dataset is pickled once per worker via the

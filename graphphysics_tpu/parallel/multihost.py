@@ -54,22 +54,16 @@ def global_batch_from_local(batch, mesh, axis_name: str = "data"):
 class MultihostGraphLoader:
     """Wraps a dataset for multi-host training: each host loads its own
     interleaved subset of items and contributes ``per_host_batch`` graphs to
-    the global batch."""
+    the global batch.
+
+    Size-bucketed datasets (``num_buckets > 1``) are supported by switching
+    to a GLOBALLY-agreed schedule: every host derives the same deterministic
+    bucket-grouped chunk list from (seed, epoch) — exactly GraphLoader's
+    grouping at global-batch granularity — and slices its own
+    ``per_host_batch`` rows out of each chunk, so every global stacked batch
+    stays one static shape (one compiled step per bucket)."""
 
     def __init__(self, dataset, per_host_batch: int, mesh, shuffle=True, seed=0):
-        if getattr(dataset, "num_buckets", 1) > 1:
-            # materialize first: uniform-size / unscannable datasets collapse
-            # to a single bucket and are fine
-            if hasattr(dataset, "bucket_of_index") and len(dataset):
-                dataset.bucket_of_index(0)
-        if getattr(dataset, "num_buckets", 1) > 1:
-            # hosts assemble ONE global stacked batch per step — mixed-shape
-            # buckets can't stack across hosts; pad to the global budget
-            raise ValueError(
-                "MultihostGraphLoader does not support size-bucketed "
-                "datasets (num_buckets > 1): the global batch must be one "
-                "static shape across hosts — use num_buckets=1"
-            )
         self.dataset = dataset
         self.per_host_batch = per_host_batch
         self.mesh = mesh
@@ -77,6 +71,30 @@ class MultihostGraphLoader:
         self.seed = seed
         self._epoch = 0
         self._start_batch = 0
+        self._bucket_ids_cache = None
+        ids = self._bucket_ids()
+        if ids is not None:
+            gb = per_host_batch * jax.process_count()
+            counts = np.bincount(ids)
+            short = [int(b) for b in np.nonzero(counts)[0] if counts[b] < gb]
+            if short:
+                # a bucket smaller than one global batch can never fill a
+                # full chunk; unlike single-host GraphLoader (which yields a
+                # partial batch), the global batch must give every host an
+                # equal slice — fail fast instead of silently dropping a
+                # mesh-size class from every epoch
+                raise ValueError(
+                    f"size buckets {short} have fewer items than one global "
+                    f"batch ({gb} = per_host_batch x {jax.process_count()} "
+                    "hosts); lower per_host_batch or num_buckets"
+                )
+
+    def _bucket_ids(self):
+        from graphphysics_tpu.dataset.loader import dataset_bucket_ids
+
+        if self._bucket_ids_cache is None:
+            self._bucket_ids_cache = dataset_bucket_ids(self.dataset)
+        return self._bucket_ids_cache
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
@@ -91,6 +109,9 @@ class MultihostGraphLoader:
         self._start_batch = int(batch)
 
     def __len__(self) -> int:
+        ids = self._bucket_ids()
+        if ids is not None:
+            return len(self._global_chunks())
         per_host = len(self.dataset) // jax.process_count()
         return per_host // self.per_host_batch
 
@@ -103,6 +124,40 @@ class MultihostGraphLoader:
             rng.shuffle(idx)
         return idx
 
+    def _global_chunks(self):
+        """Bucketed schedule: deterministic per-(seed, epoch) list of GLOBAL
+        index chunks (one per global batch, bucket-pure, full-size only) —
+        identical on every host, so hosts stay shape-aligned without any
+        communication. Host p takes rows [p*B : (p+1)*B] of each chunk."""
+        ids = self._bucket_ids()
+        gb = self.per_host_batch * jax.process_count()
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self._epoch])
+            )
+            rng.shuffle(order)
+        oid = ids[order]
+        chunks = []
+        for b in np.unique(oid):
+            sel = order[oid == b]
+            chunks += [
+                sel[j * gb : (j + 1) * gb] for j in range(len(sel) // gb)
+            ]
+        if self.shuffle:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self._epoch, 1])
+            )
+            chunks = [chunks[int(p)] for p in rng.permutation(len(chunks))]
+        return chunks
+
+    def _local_from_chunk(self, chunk: np.ndarray):
+        from graphphysics_tpu.core.graph import stack_graphs
+
+        p = jax.process_index()
+        rows = chunk[p * self.per_host_batch : (p + 1) * self.per_host_batch]
+        return stack_graphs([self.dataset[int(i)] for i in rows])
+
     def _local_batch(self, idx: np.ndarray, b: int):
         from graphphysics_tpu.core.graph import stack_graphs
 
@@ -112,12 +167,23 @@ class MultihostGraphLoader:
     def peek(self):
         """First global batch, built synchronously — for shape/parameter
         initialization (same contract as ``dataset.GraphLoader.peek``)."""
+        if self._bucket_ids() is not None:
+            chunks = self._global_chunks()
+            return global_batch_from_local(
+                self._local_from_chunk(chunks[0]), self.mesh
+            )
         return global_batch_from_local(
             self._local_batch(self._order(), 0), self.mesh
         )
 
     def __iter__(self):
-        idx = self._order()
         start, self._start_batch = self._start_batch, 0
+        if self._bucket_ids() is not None:
+            for chunk in self._global_chunks()[start:]:
+                yield global_batch_from_local(
+                    self._local_from_chunk(chunk), self.mesh
+                )
+            return
+        idx = self._order()
         for b in range(start, len(self)):
             yield global_batch_from_local(self._local_batch(idx, b), self.mesh)

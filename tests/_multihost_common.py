@@ -51,6 +51,27 @@ def make_partitioned(num_parts):
     return partition_graph_halo_np(g, num_parts)
 
 
+def make_bucketed_dataset():
+    """16 deterministic graphs in two size classes (8x 256n/1024e,
+    8x 128n/512e) behind BaseDataset's num_buckets/bucket_of_index API —
+    for the bucketed MultihostGraphLoader legs."""
+    items = make_graphs(8) + make_graphs(8, n=128, e=512)
+
+    class BucketedDataset:
+        num_buckets = 2
+
+        def __len__(self):
+            return len(items)
+
+        def bucket_of_index(self, i):
+            return 0 if i < 8 else 1
+
+        def __getitem__(self, i):
+            return items[i]
+
+    return BucketedDataset()
+
+
 def make_state():
     """(sim, tx, fresh state) — deterministic across processes."""
     import jax

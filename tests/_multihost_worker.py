@@ -85,9 +85,35 @@ def main():
         gstate, gloss = gstep(gstate, gparts)
         gp_losses.append(float(gloss))
 
+    # size-bucketed phase: two size classes; the loader's globally-agreed
+    # bucket schedule must give every host the same bucket (= static shape)
+    # at every step without communication
+    from tests._multihost_common import make_bucketed_dataset
+
+    bds = make_bucketed_dataset()
+    bloader = MultihostGraphLoader(
+        bds, per_host_batch=8 // nproc, mesh=mesh, shuffle=True, seed=7
+    )
+    _, _, bstate, bstep = make_setup(mesh)
+    bucket_losses, bucket_dims = [], []
+    for bb in bloader:
+        bstate, bloss = bstep(bstate, bb)
+        bucket_losses.append(float(bloss))
+        bucket_dims.append(int(bb.x.shape[1]))
+
     with open(out_path, "w") as f:
-        json.dump({"process": pid, "losses": losses, "gp_losses": gp_losses}, f)
-    print(f"[worker {pid}] losses={losses} gp={gp_losses}", flush=True)
+        json.dump(
+            {
+                "process": pid,
+                "losses": losses,
+                "gp_losses": gp_losses,
+                "bucket_losses": bucket_losses,
+                "bucket_dims": bucket_dims,
+            },
+            f,
+        )
+    print(f"[worker {pid}] losses={losses} gp={gp_losses} "
+          f"buckets={bucket_dims}", flush=True)
 
 
 if __name__ == "__main__":

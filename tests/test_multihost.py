@@ -89,6 +89,30 @@ def test_two_process_dp_matches_single_process(tmp_path):
         gp_ref.append(float(gloss))
     np.testing.assert_allclose(results[0]["gp_losses"], gp_ref, rtol=2e-5)
 
+    # bucketed leg: both hosts follow the same globally-agreed bucket
+    # schedule (same shape at every step) and match the single-process run
+    # with the same global batch size (8 = 2 hosts x 4)
+    assert results[0]["bucket_dims"] == results[1]["bucket_dims"]
+    assert sorted(set(results[0]["bucket_dims"])) == [128, 256]
+    np.testing.assert_allclose(
+        results[0]["bucket_losses"], results[1]["bucket_losses"], rtol=1e-6
+    )
+    from graphphysics_tpu.parallel.multihost import MultihostGraphLoader
+    from tests._multihost_common import make_bucketed_dataset
+
+    bloader = MultihostGraphLoader(
+        make_bucketed_dataset(), per_host_batch=8, mesh=mesh, shuffle=True,
+        seed=7,
+    )
+    _, _, bstate, bstep = make_setup(mesh)
+    bref, bdims = [], []
+    for bb in bloader:
+        bstate, bloss = bstep(bstate, bb)
+        bref.append(float(bloss))
+        bdims.append(int(bb.x.shape[1]))
+    assert bdims == results[0]["bucket_dims"]
+    np.testing.assert_allclose(results[0]["bucket_losses"], bref, rtol=2e-5)
+
 
 def test_multihost_loader_peek_and_resume_single_process():
     """MultihostGraphLoader implements the Trainer's loader contract
@@ -137,3 +161,67 @@ def test_multihost_loader_peek_and_resume_single_process():
     loader.set_epoch(1)
     ep1 = list(loader)
     assert not np.array_equal(np.asarray(ep1[0].x), np.asarray(batches[0].x))
+
+
+def test_multihost_loader_bucketed_single_process():
+    """Size-bucketed datasets route through the globally-agreed bucket
+    schedule: every global batch is bucket-pure (one static shape), all
+    full-size batches appear, and peek/resume keep the loader contract.
+    Single-process, where the host slice is the whole chunk."""
+    import numpy as np
+
+    from graphphysics_tpu.parallel import make_mesh
+    from graphphysics_tpu.parallel.multihost import MultihostGraphLoader
+    from tests.conftest import make_test_graph
+
+    class BucketedDataset:
+        """Two size classes: items 0..15 pad to (64n/192e), 16..27 to
+        (32n/96e) — mimics BaseDataset's num_buckets/bucket_of_index API."""
+
+        num_buckets = 2
+
+        def __init__(self):
+            small = dict(n=24, e=80, n_pad=32, e_pad=96)
+            self.items = [make_test_graph(seed=s) for s in range(16)] + [
+                make_test_graph(seed=100 + s, **small) for s in range(20)
+            ]
+
+        def __len__(self):
+            return len(self.items)
+
+        def bucket_of_index(self, i):
+            return 0 if i < 16 else 1
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+    ds = BucketedDataset()
+    mesh = make_mesh(8)
+    loader = MultihostGraphLoader(ds, per_host_batch=8, mesh=mesh, shuffle=True)
+
+    # 16 // 8 + 20 // 8 = 4 full global batches
+    assert len(loader) == 4
+    batches = list(loader)
+    assert len(batches) == 4
+    shapes = sorted({b.x.shape for b in batches})
+    assert shapes == [(8, 32, 4), (8, 64, 4)]
+    assert sum(b.x.shape[1] == 32 for b in batches) == 2
+    # every item appears at most once (32 of the 36 fill the full batches)
+    seen = np.concatenate([np.asarray(b.x[:, 0, 0]) for b in batches])
+    assert len(np.unique(seen)) == len(seen) == 32
+
+    np.testing.assert_array_equal(
+        np.asarray(loader.peek().x), np.asarray(batches[0].x)
+    )
+    loader.set_start_batch(3)
+    resumed = list(loader)
+    assert len(resumed) == 1
+    np.testing.assert_array_equal(
+        np.asarray(resumed[0].x), np.asarray(batches[3].x)
+    )
+
+    # a bucket smaller than one global batch fails fast at construction
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fewer items than one global"):
+        MultihostGraphLoader(ds, per_host_batch=32, mesh=mesh)
