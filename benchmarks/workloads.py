@@ -59,6 +59,10 @@ WORKLOADS = {
                    e=12288, batch=8, out=3, edge_feats=0),
     "aneurysm": dict(model="transformer", mp=10, hidden=64, heads=4, n=66560,
                      e=524288, batch=1, out=3, edge_feats=0),
+    # MeshGraphNet at 3D scale: remat bounds the live edge activations
+    # (15 blocks x [E, h] residuals would not fit HBM otherwise)
+    "aneurysm_epd": dict(model="epd", mp=15, hidden=128, heads=4, n=66560,
+                         e=524288, batch=1, out=3, edge_feats=4, remat=True),
 }
 
 
@@ -91,16 +95,18 @@ def run(name):
         output_index_end=w["out"],
         node_type_index=node_raw - 2,
     )
+    remat = w.get("remat", False)
     if w["model"] == "epd":
         model = EncodeProcessDecode(
             message_passing_num=w["mp"], node_input_size=cfg.node_input_size,
             edge_input_size=w["edge_feats"], output_size=w["out"],
-            hidden_size=w["hidden"],
+            hidden_size=w["hidden"], remat=remat,
         )
     else:
         model = EncodeTransformDecode(
             message_passing_num=w["mp"], node_input_size=cfg.node_input_size,
             output_size=w["out"], hidden_size=w["hidden"], num_heads=w["heads"],
+            remat=remat,
         )
     sim = Simulator(config=cfg, model=model)
     variables = sim.init({"params": jax.random.key(0)}, graph)

@@ -107,6 +107,65 @@ def write_cylinder_h5(dirpath: str, num_traj=2, steps=12, nx=12, ny=8,
     return h5_path, meta_path
 
 
+def write_panels_xdmf(dirpath: str, num_traj=2, steps=12, nx=12, ny=8,
+                      seed=None):
+    """Panels-schema xdmf folder (triangles, VitesseCoarse + NodeTypeCoarse;
+    reference ``dataset_config/panels_meta.json``) + meta.json. Node types
+    come as a STATIC int field in the data (panels.json reads them at
+    ``node_type_index: 3`` directly — no external hook); a square interior
+    panel of WALL nodes obstructs the flow. ``seed``: randomize
+    per-trajectory wave phase/amplitude (held-out splits)."""
+    os.makedirs(dirpath, exist_ok=True)
+    rng = np.random.default_rng(seed) if seed is not None else None
+    for tr in range(num_traj):
+        phase0 = 0.15 * tr if rng is None else float(rng.uniform(0.0, 1.0))
+        amp = 1.0 if rng is None else float(rng.uniform(0.8, 1.2))
+        points, tris = triangulated_grid(nx, ny)
+        nt = cylinder_node_types(points)
+        panel = (
+            (np.abs(points[:, 0] - 0.4) < 0.12)
+            & (np.abs(points[:, 1] - 0.5) < 0.15)
+        )
+        nt[panel] = int(NodeType.WALL_BOUNDARY)
+        damp = (1.0 - (nt == int(NodeType.WALL_BOUNDARY)))[:, None]
+        fn = os.path.join(dirpath, f"panel_{tr}.xdmf")
+        with XdmfTimeSeriesWriter(fn) as w:
+            w.write_points_cells(points.astype(np.float64), tris,
+                                 cell_type="triangle")
+            for t in range(steps):
+                v2 = amp * synth_velocity(points, 0.05 * t + phase0)
+                vit = np.concatenate(
+                    [v2, np.zeros((len(points), 1), np.float32)], axis=1
+                ) * damp
+                w.write_data(
+                    0.05 * t,
+                    {"VitesseCoarse": vit.astype(np.float32),
+                     "NodeTypeCoarse": nt.astype(np.int32)},
+                )
+    # feature dict order fixes the x layout: [Vitesse(3), NodeType(1),
+    # time(1)] -> panels.json indices (features 0:2, node_type_index 3)
+    meta = {
+        "dt": 0.05,
+        "features": {
+            "cells": {"type": "static", "shape": [steps, -1, 3],
+                      "dtype": "int32"},
+            "mesh_pos": {"type": "static", "shape": [steps, -1, 2],
+                         "dtype": "float32"},
+            "VitesseCoarse": {"type": "dynamic", "shape": [steps, -1, 3],
+                              "dtype": "float32"},
+            "NodeTypeCoarse": {"type": "static", "shape": [steps, -1, 1],
+                               "dtype": "int32"},
+        },
+        "field_names": ["cells", "mesh_pos", "VitesseCoarse",
+                        "NodeTypeCoarse"],
+        "trajectory_length": steps,
+    }
+    meta_path = os.path.join(dirpath, "meta.json")
+    with open(meta_path, "w") as fp:
+        json.dump(meta, fp)
+    return dirpath, meta_path
+
+
 def write_plate_h5(dirpath: str, num_traj=1, steps=8, n=5):
     """DeformingPlate-schema h5 (3D tetra, world_pos dynamic, target_features)."""
     os.makedirs(dirpath, exist_ok=True)

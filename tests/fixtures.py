@@ -7,5 +7,6 @@ from graphphysics_tpu.utils.synthetic import (  # noqa: F401
     triangulated_grid,
     write_aneurysm_xdmf,
     write_cylinder_h5,
+    write_panels_xdmf,
     write_plate_h5,
 )

@@ -11,7 +11,12 @@ from graphphysics_tpu.dataset import (
     XDMFDataset,
     build_preprocessing,
 )
-from tests.fixtures import write_aneurysm_xdmf, write_cylinder_h5, write_plate_h5
+from tests.fixtures import (
+    write_aneurysm_xdmf,
+    write_cylinder_h5,
+    write_panels_xdmf,
+    write_plate_h5,
+)
 
 
 @pytest.fixture(scope="module")
@@ -365,3 +370,37 @@ def test_plate_press_dataset(tmp_path):
     cross = ((nt[s] == float(NodeType.OBSTACLE)) & (nt[r] == float(NodeType.NORMAL))) | (
         (nt[r] == float(NodeType.OBSTACLE)) & (nt[s] == float(NodeType.NORMAL)))
     assert int(cross.sum()) > 0
+
+
+def test_panels_xdmf_schema_and_layout(tmp_path):
+    """Panels family (reference ``dataset_config/panels_meta.json`` +
+    ``training_config/panels.json``): node types come as the STATIC
+    ``NodeTypeCoarse`` data field — x layout [Vitesse(3), node_type(1),
+    time(1)] puts them at ``node_type_index: 3`` with no external hook."""
+    from graphphysics_tpu.dataset.preprocessing import build_preprocessing
+
+    folder, meta_path = write_panels_xdmf(
+        str(tmp_path / "train"), num_traj=2, steps=5, nx=8, ny=6
+    )
+    ds = XDMFDataset(
+        xdmf_folder=folder, meta_path=meta_path,
+        preprocessing=build_preprocessing(add_edges_features=False),
+        add_edge_features=False, node_type_index=3,
+    )
+    assert ds.size_dataset == 2
+    g = ds[0]
+    n = int(g.node_mask.sum())
+    assert n == 48  # 8x6 grid
+    assert g.x.shape[1] == 5
+    assert g.edge_attr is None
+    nt = g.x[:n, 3]
+    # borders + interior panel obstruction present
+    for t in (NodeType.NORMAL, NodeType.INFLOW, NodeType.OUTFLOW,
+              NodeType.WALL_BOUNDARY):
+        assert (nt == float(t)).any(), t
+    # velocity zeroed on walls, time column constant
+    wall = nt == float(NodeType.WALL_BOUNDARY)
+    assert np.allclose(g.x[:n][wall][:, 0:3], 0.0)
+    assert np.allclose(g.x[:n, 4], g.x[0, 4])
+    # target = next-frame Vitesse
+    assert g.y.shape[1] == 3

@@ -76,3 +76,30 @@ def test_fixed_3d_rotate_matches_reference_convention(rng):
     np.testing.assert_allclose(out.pos, pos0 @ m, atol=1e-6)
     np.testing.assert_allclose(out.x[:, 0:3], feat0 @ m, atol=1e-6)
     np.testing.assert_allclose(out.y[:, 0:3], y0[:, 0:3] @ m, atol=1e-6)
+
+
+def test_bezier_node_type_hook(rng):
+    """``external.bezier.add_bezier_node_type`` (reference
+    ``external/bezier.py:7-31``): node type from the one-hot boundary
+    columns 3..7 — WALL iff bn=1 with all a_i=0, INFLOW iff a1=1, OUTFLOW
+    iff a3=1 (a3 wins over a1 when both set), NORMAL otherwise — appended
+    as a new last column."""
+    from graphphysics_tpu.external.bezier import add_bezier_node_type
+
+    x = np.zeros((6, 8), np.float32)
+    x[:, 0:3] = rng.normal(size=(6, 3))
+    x[1, 3] = 1.0  # bn only -> WALL
+    x[2, 4] = 1.0  # a1 -> INFLOW
+    x[3, 6] = 1.0  # a3 -> OUTFLOW
+    x[4, 3] = 1.0
+    x[4, 5] = 1.0  # bn with a2 set -> not wall -> NORMAL
+    x[5, 4] = 1.0
+    x[5, 6] = 1.0  # a1 and a3 -> OUTFLOW (a3 assigned last)
+    s = RawSample(x=x, pos=rng.normal(size=(6, 2)).astype(np.float32))
+    out = add_bezier_node_type(s, rng)
+    assert out.x.shape == (6, 9)
+    expected = [
+        NodeType.NORMAL, NodeType.WALL_BOUNDARY, NodeType.INFLOW,
+        NodeType.OUTFLOW, NodeType.NORMAL, NodeType.OUTFLOW,
+    ]
+    np.testing.assert_array_equal(out.x[:, 8], [float(t) for t in expected])
