@@ -52,6 +52,22 @@ class ThroughputMeter:
         return self.steps_per_sec * self.edges_per_step
 
 
+def fetch_sync(*objs) -> None:
+    """Force completion of everything the given pytrees depend on by
+    FETCHING one element of each first leaf to the host.
+
+    ``block_until_ready`` has been OBSERVED TO RETURN EARLY through
+    remote-tunnel backends (a 16k^3 matmul "completing" in 0.05 ms; a train
+    step reported 1.96 ms whose fetch-synced time was 826 ms) — a host read
+    of result data cannot lie."""
+    import numpy as np
+
+    for o in objs:
+        for leaf in jax.tree_util.tree_leaves(o):
+            np.asarray(jax.numpy.ravel(leaf)[0])
+            break
+
+
 def time_chained_steps(
     step_fn: Callable,
     state,
@@ -60,12 +76,15 @@ def time_chained_steps(
     warmup: int = 3,
 ):
     """Honest per-step wall time: run ``iters`` dependent steps (state flows
-    through) and block only at the end. Returns (seconds_per_step, state)."""
+    through) and synchronize only at the end — by fetching host scalars from
+    both the final loss and the final state (NOT ``block_until_ready``; see
+    ``fetch_sync``). Returns (seconds_per_step, state)."""
+    loss = None
     for _ in range(warmup):
         state, loss = step_fn(state, batch)
-        jax.block_until_ready(loss)
+    fetch_sync(loss, state)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss = step_fn(state, batch)
-    jax.block_until_ready(loss)
+    fetch_sync(loss, state)
     return (time.perf_counter() - t0) / iters, state
