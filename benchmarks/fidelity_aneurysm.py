@@ -19,11 +19,9 @@ Record the result in BASELINE.json ``measured.fidelity_aneurysm_synth``.
 import argparse
 import json
 import os
-import shutil
 import tempfile
 import time
 
-import numpy as np
 
 
 def main():
@@ -53,23 +51,25 @@ def main():
     from graphphysics_tpu.training.trainer import Trainer
     from graphphysics_tpu.utils.synthetic import write_aneurysm_xdmf
 
+    from _common import (
+        persistence_rmse,
+        unify_budgets,
+        val_param_for,
+        write_heldout_split,
+    )
+
     train_dir = os.path.join(workdir, "dataset", "train")
     _, meta_path = write_aneurysm_xdmf(
         train_dir, num_traj=args.trajectories, steps=args.steps, n=args.n,
         seed=0,
     )
     # held-out rollout trajectories: distinct random wave phases/amplitudes
-    test_dir = os.path.join(workdir, "dataset", "test")
-    tmp_dir = os.path.join(workdir, "valdata")
-    write_aneurysm_xdmf(
-        tmp_dir, num_traj=args.val_trajectories, steps=args.steps, n=args.n,
+    test_dir = write_heldout_split(
+        write_aneurysm_xdmf, train_dir,
+        os.path.join(workdir, "dataset", "test"),
+        num_traj=args.val_trajectories, steps=args.steps, n=args.n,
         seed=12345,
     )
-    os.makedirs(test_dir, exist_ok=True)
-    for f in os.listdir(tmp_dir):
-        if f.endswith((".xdmf", ".h5")):
-            shutil.move(os.path.join(tmp_dir, f), os.path.join(test_dir, f))
-    shutil.rmtree(tmp_dir)
 
     model = {
         "type": "transformer",
@@ -126,17 +126,10 @@ def main():
         param, train_pre, use_edge_feature=False, use_previous_data=True
     )
     val_ds = get_dataset(
-        param, val_pre, use_edge_feature=False, use_previous_data=True,
-        switch_to_val=True,
+        val_param_for(param, test_dir), val_pre, use_edge_feature=False,
+        use_previous_data=True,
     )
-    # unify static budgets across splits (same tet grid → same size, but
-    # keep the CLI's contract)
-    _ = train_ds[0]
-    _ = val_ds[0]
-    nb = max(train_ds.node_budget, val_ds.node_budget)
-    eb = max(train_ds.edge_budget or 0, val_ds.edge_budget or 0) or None
-    train_ds.node_budget = val_ds.node_budget = nb
-    train_ds.edge_budget = val_ds.edge_budget = eb
+    unify_budgets(train_ds, val_ds)
 
     loader = GraphLoader(
         train_ds, batch_size=args.batch_size, shuffle=True, prefetch=0
@@ -155,22 +148,10 @@ def main():
         log_every=50,
     )
 
-    # context baseline: persistence (velocity frozen at each trajectory's
-    # first frame; non-NORMAL nodes clamped to truth like the real rollout),
-    # with rollout_rmse's averaging semantics
-    from graphphysics_tpu.core.nodetype import NodeType
-
-    se_sum, cnt = 0.0, 0.0
-    for tr in range(val_ds.size_dataset):
-        frames = [val_ds[i] for i in val_ds.trajectory_indices(tr)]
-        v0 = frames[0].x[:, 0:3]
-        valid = frames[0].node_mask.astype(bool)
-        normal = valid & (frames[0].x[:, 14] == float(NodeType.NORMAL))
-        for f in frames:
-            se_sum += float(((v0 - f.y[:, 0:3]) ** 2)[normal].sum())
-            cnt += float(valid.sum()) * 3
-    persistence_rmse = float(np.sqrt(se_sum / cnt))
-    print(f"persistence (frozen-velocity) rollout RMSE: {persistence_rmse:.6f}")
+    # context baseline: velocity frozen at each trajectory's first frame,
+    # clamped/averaged with the real rollout metric's semantics
+    baseline = persistence_rmse(val_ds, (0, 3), node_type_col=14)
+    print(f"persistence (frozen-velocity) rollout RMSE: {baseline:.6f}")
 
     t0 = time.time()
     history = trainer.fit(loader, val_dataset=val_ds, num_epochs=args.epochs)
@@ -178,7 +159,7 @@ def main():
 
     out = {
         "val_all_rollout_rmse_by_epoch": [float(v) for v in history["val_rmse"]],
-        "persistence_rmse": persistence_rmse,
+        "persistence_rmse": baseline,
         "epochs": args.epochs,
         "minutes": round(minutes, 1),
         "gmm": bool(args.gmm),

@@ -12,11 +12,9 @@ Record the result in BASELINE.json ``measured.fidelity_panels_synth``.
 import argparse
 import json
 import os
-import shutil
 import tempfile
 import time
 
-import numpy as np
 
 
 def main():
@@ -45,22 +43,24 @@ def main():
     from graphphysics_tpu.training.trainer import Trainer
     from graphphysics_tpu.utils.synthetic import write_panels_xdmf
 
+    from _common import (
+        persistence_rmse,
+        unify_budgets,
+        val_param_for,
+        write_heldout_split,
+    )
+
     train_dir = os.path.join(workdir, "dataset", "train")
     _, meta_path = write_panels_xdmf(
         train_dir, num_traj=args.trajectories, steps=args.steps,
         nx=args.nx, ny=args.ny, seed=0,
     )
-    test_dir = os.path.join(workdir, "dataset", "test")
-    tmp_dir = os.path.join(workdir, "valdata")
-    write_panels_xdmf(
-        tmp_dir, num_traj=args.val_trajectories, steps=args.steps,
+    test_dir = write_heldout_split(
+        write_panels_xdmf, train_dir,
+        os.path.join(workdir, "dataset", "test"),
+        num_traj=args.val_trajectories, steps=args.steps,
         nx=args.nx, ny=args.ny, seed=12345,
     )
-    os.makedirs(test_dir, exist_ok=True)
-    for f in os.listdir(tmp_dir):
-        if f.endswith((".xdmf", ".h5")):
-            shutil.move(os.path.join(tmp_dir, f), os.path.join(test_dir, f))
-    shutil.rmtree(tmp_dir)
 
     # panels.json schema: transformer 15x128, inputs = (vx, vy), outputs =
     # full 3-component Vitesse, node type at column 3
@@ -103,14 +103,9 @@ def main():
     val_pre = get_preprocessing(param, use_edge_feature=False, remove_noise=True)
     train_ds = get_dataset(param, train_pre, use_edge_feature=False)
     val_ds = get_dataset(
-        param, val_pre, use_edge_feature=False, switch_to_val=True
+        val_param_for(param, test_dir), val_pre, use_edge_feature=False
     )
-    _ = train_ds[0]
-    _ = val_ds[0]
-    nb = max(train_ds.node_budget, val_ds.node_budget)
-    eb = max(train_ds.edge_budget or 0, val_ds.edge_budget or 0) or None
-    train_ds.node_budget = val_ds.node_budget = nb
-    train_ds.edge_budget = val_ds.edge_budget = eb
+    unify_budgets(train_ds, val_ds)
 
     loader = GraphLoader(
         train_ds, batch_size=args.batch_size, shuffle=True, prefetch=0
@@ -126,20 +121,10 @@ def main():
         log_every=50,
     )
 
-    # context baseline: frozen velocity, non-NORMAL clamped like the rollout
-    from graphphysics_tpu.core.nodetype import NodeType
-
-    se_sum, cnt = 0.0, 0.0
-    for tr in range(val_ds.size_dataset):
-        frames = [val_ds[i] for i in val_ds.trajectory_indices(tr)]
-        v0 = frames[0].x[:, 0:3]
-        valid = frames[0].node_mask.astype(bool)
-        normal = valid & (frames[0].x[:, 3] == float(NodeType.NORMAL))
-        for f in frames:
-            se_sum += float(((v0 - f.y[:, 0:3]) ** 2)[normal].sum())
-            cnt += float(valid.sum()) * 3
-    persistence_rmse = float(np.sqrt(se_sum / cnt))
-    print(f"persistence (frozen-velocity) rollout RMSE: {persistence_rmse:.6f}")
+    # context baseline: velocity frozen at each trajectory's first frame,
+    # clamped/averaged with the real rollout metric's semantics
+    baseline = persistence_rmse(val_ds, (0, 3), node_type_col=3)
+    print(f"persistence (frozen-velocity) rollout RMSE: {baseline:.6f}")
 
     t0 = time.time()
     history = trainer.fit(loader, val_dataset=val_ds, num_epochs=args.epochs)
@@ -147,7 +132,7 @@ def main():
 
     out = {
         "val_all_rollout_rmse_by_epoch": [float(v) for v in history["val_rmse"]],
-        "persistence_rmse": persistence_rmse,
+        "persistence_rmse": baseline,
         "epochs": args.epochs,
         "minutes": round(minutes, 1),
         "workdir": workdir,

@@ -16,11 +16,9 @@ Record the result in BASELINE.json ``measured.fidelity_plate_press``.
 import argparse
 import json
 import os
-import shutil
 import tempfile
 import time
 
-import numpy as np
 
 
 def main():
@@ -47,20 +45,25 @@ def main():
     from graphphysics_tpu.training.trainer import Trainer
     from graphphysics_tpu.utils.synthetic import write_plate_press_h5
 
+    from _common import (
+        persistence_rmse,
+        unify_budgets,
+        val_param_for,
+        write_heldout_split,
+    )
+
     data_dir = os.path.join(workdir, "data")
     h5_path, meta_path = write_plate_press_h5(
         data_dir, num_traj=args.trajectories, steps=args.steps,
         nx=args.nx, nz=args.nz,
     )
     # held-out rollout trajectories (different seed -> different punch
-    # centers/speeds); switch_to_val rewrites train->test in the path
-    val_dir = os.path.join(workdir, "valdata")
-    val_h5, _ = write_plate_press_h5(
-        val_dir, num_traj=2, steps=args.steps, nx=args.nx, nz=args.nz,
-        seed=12345,
+    # centers/speeds)
+    test_dir = write_heldout_split(
+        write_plate_press_h5, data_dir, os.path.join(workdir, "testdata"),
+        num_traj=2, steps=args.steps, nx=args.nx, nz=args.nz, seed=12345,
     )
-    shutil.move(val_h5, h5_path.replace("train", "test"))
-    shutil.rmtree(val_dir)
+    val_h5_path = os.path.join(test_dir, "train.h5")
 
     param = {
         "dataset": {
@@ -104,7 +107,8 @@ def main():
     train_pre = get_preprocessing(param)
     val_pre = get_preprocessing(param, remove_noise=True)
     train_ds = get_dataset(param, train_pre)
-    val_ds = get_dataset(param, val_pre, switch_to_val=True)
+    val_ds = get_dataset(val_param_for(param, val_h5_path), val_pre)
+    unify_budgets(train_ds, val_ds)
     loader = GraphLoader(
         train_ds, batch_size=args.batch_size, shuffle=True, prefetch=0
     )
@@ -119,22 +123,10 @@ def main():
         log_every=50,
     )
 
-    # context baseline: a frozen plate (predict zero world_pos delta every
-    # step; boundary nodes clamped to truth like the real rollout) over the
-    # same held-out trajectories, with rollout_rmse's averaging semantics
-    from graphphysics_tpu.core.nodetype import NodeType
-
-    se_sum, cnt = 0.0, 0.0
-    for tr in range(val_ds.size_dataset):
-        frames = [val_ds[i] for i in val_ds.trajectory_indices(tr)]
-        wp0 = frames[0].x[:, 0:3]
-        valid = frames[0].node_mask.astype(bool)
-        normal = valid & (frames[0].x[:, 6] == float(NodeType.NORMAL))
-        for f in frames:
-            se_sum += float(((wp0 - f.y) ** 2)[normal].sum())
-            cnt += float(valid.sum()) * 3
-    persistence_rmse = float(np.sqrt(se_sum / cnt))
-    print(f"persistence (zero-delta) rollout RMSE: {persistence_rmse:.6f}")
+    # context baseline: a frozen plate (zero world_pos delta every step),
+    # clamped/averaged with the real rollout metric's semantics
+    baseline = persistence_rmse(val_ds, (0, 3), node_type_col=6)
+    print(f"persistence (zero-delta) rollout RMSE: {baseline:.6f}")
 
     t0 = time.time()
     history = trainer.fit(loader, val_dataset=val_ds, num_epochs=args.epochs)
@@ -142,7 +134,7 @@ def main():
 
     out = {
         "val_all_rollout_rmse_by_epoch": [float(v) for v in history["val_rmse"]],
-        "persistence_rmse": persistence_rmse,
+        "persistence_rmse": baseline,
         "epochs": args.epochs,
         "minutes": round(minutes, 1),
         "workdir": workdir,

@@ -108,26 +108,15 @@ class GraphLoader:
         is one static shape (one compiled step per bucket), then shuffle the
         BATCH order; un-bucketed datasets chunk the shuffled order exactly as
         before."""
-        order = self._order()
-        bs = self.batch_size
-        ids = self._bucket_ids()
-        if ids is None:
-            n = self._num_chunks(len(self.dataset))
-            return [order[b * bs : (b + 1) * bs] for b in range(n)]
-        oid = ids[order]
-        chunks = []
-        for b in np.unique(oid):
-            sel = order[oid == b]
-            chunks += [
-                sel[j * bs : (j + 1) * bs]
-                for j in range(self._num_chunks(len(sel), whole_bucket=True))
-            ]
-        if self.shuffle:
-            rng = np.random.default_rng(
-                np.random.SeedSequence([self.seed, self._epoch, 1])
-            )
-            chunks = [chunks[int(p)] for p in rng.permutation(len(chunks))]
-        return chunks
+        return compute_batch_chunks(
+            len(self.dataset),
+            self.batch_size,
+            seed=self.seed,
+            epoch=self._epoch,
+            shuffle=self.shuffle,
+            bucket_ids=self._bucket_ids(),
+            chunks_for_count=self._num_chunks,
+        )
 
     def _collate(self, graphs) -> Graph:
         if self.collate == "stack":
@@ -259,6 +248,47 @@ class GraphLoader:
             # consumer abandoned mid-epoch (exception / break): unblock and
             # stop the producer so the worker pool is released
             stop.set()
+
+
+def compute_batch_chunks(
+    total: int,
+    batch_size: int,
+    *,
+    seed: int,
+    epoch: int,
+    shuffle: bool,
+    bucket_ids: Optional[np.ndarray],
+    chunks_for_count,
+) -> list:
+    """The deterministic per-(seed, epoch) batching schedule shared by
+    GraphLoader and MultihostGraphLoader — ONE implementation so hosts that
+    derive it independently stay provably aligned.
+
+    Items are shuffled with SeedSequence([seed, epoch]); with ``bucket_ids``
+    they are grouped bucket-pure (every chunk one static shape) and the
+    CHUNK order is shuffled with SeedSequence([seed, epoch, 1]).
+    ``chunks_for_count(count, whole_bucket=False)`` decides how many batches
+    a bucket of ``count`` items yields (partial-batch policy)."""
+    order = np.arange(total)
+    if shuffle:
+        rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+        rng.shuffle(order)
+    bs = batch_size
+    if bucket_ids is None:
+        n = chunks_for_count(total)
+        return [order[b * bs : (b + 1) * bs] for b in range(n)]
+    oid = bucket_ids[order]
+    chunks = []
+    for b in np.unique(oid):
+        sel = order[oid == b]
+        chunks += [
+            sel[j * bs : (j + 1) * bs]
+            for j in range(chunks_for_count(len(sel), whole_bucket=True))
+        ]
+    if shuffle:
+        rng = np.random.default_rng(np.random.SeedSequence([seed, epoch, 1]))
+        chunks = [chunks[int(p)] for p in rng.permutation(len(chunks))]
+    return chunks
 
 
 def dataset_bucket_ids(ds) -> Optional[np.ndarray]:

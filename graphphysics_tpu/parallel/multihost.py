@@ -127,29 +127,23 @@ class MultihostGraphLoader:
     def _global_chunks(self):
         """Bucketed schedule: deterministic per-(seed, epoch) list of GLOBAL
         index chunks (one per global batch, bucket-pure, full-size only) —
-        identical on every host, so hosts stay shape-aligned without any
-        communication. Host p takes rows [p*B : (p+1)*B] of each chunk."""
-        ids = self._bucket_ids()
+        GraphLoader's own schedule (``compute_batch_chunks``) at global-batch
+        granularity, so it is identical on every host and hosts stay
+        shape-aligned without any communication. Host p takes rows
+        [p*B : (p+1)*B] of each chunk."""
+        from graphphysics_tpu.dataset.loader import compute_batch_chunks
+
         gb = self.per_host_batch * jax.process_count()
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            rng = np.random.default_rng(
-                np.random.SeedSequence([self.seed, self._epoch])
-            )
-            rng.shuffle(order)
-        oid = ids[order]
-        chunks = []
-        for b in np.unique(oid):
-            sel = order[oid == b]
-            chunks += [
-                sel[j * gb : (j + 1) * gb] for j in range(len(sel) // gb)
-            ]
-        if self.shuffle:
-            rng = np.random.default_rng(
-                np.random.SeedSequence([self.seed, self._epoch, 1])
-            )
-            chunks = [chunks[int(p)] for p in rng.permutation(len(chunks))]
-        return chunks
+        return compute_batch_chunks(
+            len(self.dataset),
+            gb,
+            seed=self.seed,
+            epoch=self._epoch,
+            shuffle=self.shuffle,
+            bucket_ids=self._bucket_ids(),
+            # full-size chunks only: every host must get an equal slice
+            chunks_for_count=lambda count, whole_bucket=False: count // gb,
+        )
 
     def _local_from_chunk(self, chunk: np.ndarray):
         from graphphysics_tpu.core.graph import stack_graphs

@@ -64,6 +64,8 @@ def fetch_sync(*objs) -> None:
 
     for o in objs:
         for leaf in jax.tree_util.tree_leaves(o):
+            if getattr(leaf, "size", 0) == 0:
+                continue  # zero-size leaves carry no fetchable data
             np.asarray(jax.numpy.ravel(leaf)[0])
             break
 

@@ -31,6 +31,9 @@ def test_time_chained_steps_threads_state_and_times():
 def test_fetch_sync_handles_pytrees_and_scalars():
     fetch_sync(jnp.ones(()), {"a": jnp.arange(3), "b": None})
     fetch_sync((None,))  # no leaves — must not raise
+    # zero-size first leaf: skip to the next fetchable leaf
+    fetch_sync({"empty": jnp.zeros((0,)), "full": jnp.ones((2,))})
+    fetch_sync(jnp.zeros((0, 3)))  # only empty leaves — must not raise
 
 
 def test_throughput_meter():
