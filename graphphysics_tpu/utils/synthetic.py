@@ -69,16 +69,20 @@ def synth_velocity(points: np.ndarray, t: float) -> np.ndarray:
 
 
 def write_cylinder_h5(dirpath: str, num_traj=2, steps=12, nx=12, ny=8,
-                      grids=None):
+                      grids=None, seed=None):
     """CylinderFlow-schema h5 + meta.json; returns (h5_path, meta_path).
     ``grids``: optional per-trajectory ``(nx, ny)`` list for heterogeneous
     mesh sizes (the size-bucketing regime; the schema's ``-1`` node dims
-    already allow it, like the real aneurysm/bezier datasets)."""
+    already allow it, like the real aneurysm/bezier datasets).
+    ``seed``: when set, randomize per-trajectory wave phase (held-out
+    validation splits); the default keeps the deterministic phase ramp."""
     os.makedirs(dirpath, exist_ok=True)
+    rng = np.random.default_rng(seed) if seed is not None else None
     grids = list(grids) if grids is not None else [(nx, ny)] * num_traj
     h5_path = os.path.join(dirpath, "train.h5")
     with h5py.File(h5_path, "w") as f:
         for tr, (gx, gy) in enumerate(grids):
+            phase0 = 0.15 * tr if rng is None else float(rng.uniform(0.0, 3.0))
             points, tris = triangulated_grid(gx, gy)
             g = f.create_group(str(tr))
             g["cells"] = np.repeat(tris[None], steps, axis=0)
@@ -87,7 +91,7 @@ def write_cylinder_h5(dirpath: str, num_traj=2, steps=12, nx=12, ny=8,
                 cylinder_node_types(points)[None, :, None], steps, axis=0
             )
             vel = np.stack(
-                [synth_velocity(points, 0.05 * (t + 3 * tr)) for t in range(steps)]
+                [synth_velocity(points, 0.05 * t + phase0) for t in range(steps)]
             )
             g["velocity"] = vel
     meta = {
