@@ -100,6 +100,65 @@ def load_eval_step(blob: bytes) -> Callable:
     return step
 
 
+def export_rollout(
+    sim,
+    variables,
+    example_frames,
+    use_previous_data: bool = False,
+    previous_data_start: Optional[int] = None,
+    previous_data_end: Optional[int] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> bytes:
+    """Serialize the WHOLE-TRAJECTORY autoregressive rollout — the
+    ``lax.scan`` over stacked frames with prediction feedback, previous-data
+    carry, and boundary clamping (``training/rollout.py``; reference
+    ``lightning_module.py:168-232``) — to one StableHLO artifact.
+
+    The exported callable takes a raw PRNGKey plus the array leaves of a
+    ``[T, ...]``-stacked frames Graph and returns ``(predictions, targets)``
+    of shape ``[T, N, d]``. One artifact serves one (T, bucket) shape."""
+    leaves, treedef = jax.tree_util.tree_flatten(example_frames)
+
+    from jax import export as jax_export
+
+    from graphphysics_tpu.training.rollout import rollout
+
+    def f(key, *frame_leaves):
+        frames = jax.tree_util.tree_unflatten(treedef, list(frame_leaves))
+        return rollout(
+            sim,
+            variables,
+            frames,
+            key,
+            use_previous_data=use_previous_data,
+            previous_data_start=previous_data_start,
+            previous_data_end=previous_data_end,
+        )
+
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    exported = jax_export.export(jax.jit(f), **kwargs)(
+        jax.random.PRNGKey(0), *leaves
+    )
+    return exported.serialize()
+
+
+def load_rollout(blob: bytes) -> Callable:
+    """Deserialize an ``export_rollout`` artifact into
+    ``run(frames, key=None) -> (predictions, targets)``."""
+    from jax import export as jax_export
+
+    exported = jax_export.deserialize(bytearray(blob))
+
+    def run(frames, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return exported.call(key, *jax.tree_util.tree_leaves(frames))
+
+    return run
+
+
 def save_eval_step(path: str, sim, variables, example_graph, **kwargs) -> str:
     """Export and write the serving artifact to ``path``."""
     blob = export_eval_step(sim, variables, example_graph, **kwargs)

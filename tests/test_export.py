@@ -99,3 +99,26 @@ def test_export_gmm_takes_sample_key():
     # a different key samples differently
     other = np.asarray(step(g, key=jax.random.PRNGKey(7)))
     assert not np.allclose(got, other)
+
+
+def test_export_rollout_matches_live():
+    from graphphysics_tpu.core.graph import stack_graphs
+    from graphphysics_tpu.training.rollout import rollout
+    from graphphysics_tpu.utils.export import export_rollout, load_rollout
+
+    sim, variables, _ = _build()
+    frames = jax.tree_util.tree_map(
+        jnp.asarray, stack_graphs([make_test_graph(seed=s) for s in range(4)])
+    )
+    blob = export_rollout(sim, variables, frames)
+    run = load_rollout(blob)
+    key = jax.random.PRNGKey(3)
+    pred, tgt = run(frames, key=key)
+    assert pred.shape == tgt.shape == (4, frames.x.shape[1], 2)
+
+    live = jax.jit(lambda fr, k: rollout(sim, variables, fr, k))
+    lp, lt = live(frames, key)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(lp),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tgt), np.asarray(lt),
+                               rtol=1e-6, atol=1e-6)
