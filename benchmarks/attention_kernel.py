@@ -65,6 +65,19 @@ def run_case(n, e, h, dh, label):
           f"(pallas/xla = {tp/tx:.2f}x)  edges/s pallas {e/tp/1e6:.1f}M "
           f"xla {e/tx/1e6:.1f}M")
 
+    # fwd+bwd: value_and_grad of a scalar loss through the op. The Pallas
+    # path's custom VJP is segment-reduction-free (saved (m,l) stats + the
+    # delta identity); the XLA path's bwd is autodiff through segment ops.
+    pallas_g = jax.jit(jax.grad(lambda q: (pallas_fn(q) ** 2).sum()))
+    xla_g = jax.jit(jax.grad(lambda q: (xla_fn(q) ** 2).sum()))
+    gp_, gx_ = np.asarray(pallas_g(q)), np.asarray(xla_g(q))
+    print(f"{label}: max abs GRAD err pallas-vs-xla = "
+          f"{np.abs(gp_ - gx_).max():.2e}")
+    tpg, _ = chain(pallas_g, iters=30)
+    txg, _ = chain(xla_g, iters=30)
+    print(f"{label}: grad pallas {tpg*1e3:.3f} ms  xla {txg*1e3:.3f} ms  "
+          f"(pallas/xla = {tpg/txg:.2f}x)")
+
 run_case(66000, 524288, 4, 16, "aneurysm-ish 66k/524k h4dh16")
 run_case(16384, 98304, 4, 32, "panels-ish 16k/98k h4dh32")
 run_case(2048, 12288, 4, 16, "cylinder-ish 2k/12k h4dh16")

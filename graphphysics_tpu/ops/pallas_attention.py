@@ -24,9 +24,13 @@ there are no write conflicts. Only Mosaic-friendly ops are used: static
 value slices, broadcasts, sublane concats, iota, and matmuls — no reshapes
 or transposes.
 
-The public entry ``csr_softmax_spmm`` carries a custom VJP whose backward
-recomputes the attention weights with the XLA segment ops (``ops.segment``)
-— exact same math, so the kernel is usable inside the train step.
+The public entry ``csr_softmax_spmm`` carries a custom VJP whose backward is
+SEGMENT-REDUCTION-FREE: the forward kernel saves its online-softmax stats
+``(m, l)`` per node, and the softmax-VJP inner term is the flash-attention
+"delta" identity ``sum_seg(attn * dattn) = <out, g>`` per head — a node-level
+rowsum, not an edge-level segment sum. The whole backward is one packed
+sorted gather plus elementwise math (no ``segment_max``/``segment_sum``
+recompute), so the kernel is cheap inside the train step in both directions.
 """
 
 from __future__ import annotations
@@ -102,6 +106,7 @@ def _kernel(
     bounds_ref,  # scalar prefetch: [2, num_blocks] int32 (block starts; ends)
     packed_ref,  # HBM: [E_pad, C] = [values(D) | scores(H) | seg bits | pad]
     out_ref,  # VMEM: [BN, D] f32
+    ml_ref,  # VMEM: [2*H, BN] f32 — final (m; l) softmax stats, saved for bwd
     packed_scratch,  # VMEM: [2, BE, C] (stream dtype)
     m_ref,  # VMEM: [H, BN] running max (head-major)
     l_ref,  # VMEM: [H, BN] running sum of exp
@@ -231,6 +236,8 @@ def _kernel(
     # same epsilon as ops.segment.segment_softmax: empty rows -> exact 0
     l_exp = _dot(l_ref[:], expand, (((0,), (0,))))  # [BN, D]
     out_ref[:] = out_ref[:] / (l_exp + 1e-16)
+    # save the final softmax stats for the backward pass (sublane concat)
+    ml_ref[:] = jnp.concatenate([m_ref[:], l_ref[:]], axis=0)
 
 
 @functools.partial(
@@ -294,8 +301,15 @@ def _softmax_spmm_impl(
         num_scalar_prefetch=1,
         grid=(num_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (block_nodes, d), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec(
+                (block_nodes, d), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (2 * num_heads, block_nodes),
+                lambda b, *_: (0, b),
+                memory_space=pltpu.VMEM,
+            ),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, block_edges, c_width), dt),
@@ -312,12 +326,17 @@ def _softmax_spmm_impl(
         num_heads=num_heads,
         head_dim=head_dim,
     )
-    out = pl.pallas_call(
+    out, ml = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_blocks * block_nodes, d), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_blocks * block_nodes, d), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (2 * num_heads, num_blocks * block_nodes), jnp.float32
+            ),
+        ),
     )(bounds, packed)
-    return out[:num_nodes].astype(values.dtype)
+    return out[:num_nodes].astype(values.dtype), ml[:, :num_nodes]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
@@ -353,53 +372,58 @@ def csr_softmax_spmm(
     h = scores.shape[1]
     if max_chunks is None:
         max_chunks = -(-scores.shape[0] // block_edges) + 1
-    return _softmax_spmm_impl(
+    out, _ = _softmax_spmm_impl(
         scores, values, segments, bounds,
         num_nodes, h, block_nodes, block_edges, max_chunks,
         stream_dtype=stream_dtype,
     )
-
-
-def _xla_attn_weights(scores, segments, num_nodes):
-    """Attention weights via the XLA segment ops — same math as the kernel.
-
-    ``segments`` may contain ``num_nodes`` for masked edges, so reductions run
-    with one extra segment row that is then discarded.
-    """
-    seg_max = jax.ops.segment_max(scores, segments, num_segments=num_nodes + 1)
-    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
-    ex = jnp.exp(scores - seg_max[segments])
-    denom = jax.ops.segment_sum(ex, segments, num_segments=num_nodes + 1)
-    return ex / (denom[segments] + 1e-16)
+    return out
 
 
 def _fwd(scores, values, segments, bounds, num_nodes, bn, be, mc, sd):
-    out = csr_softmax_spmm(
-        scores, values, segments, bounds, num_nodes, bn, be, mc, sd
+    if mc is None:
+        mc = -(-scores.shape[0] // be) + 1
+    out, ml = _softmax_spmm_impl(
+        scores, values, segments, bounds,
+        num_nodes, scores.shape[1], bn, be, mc, stream_dtype=sd,
     )
-    return out, (scores, values, segments)
+    return out, (scores, values, segments, ml, out)
 
 
 def _bwd(num_nodes, bn, be, mc, sd, res, g):
-    scores, values, segments = res
+    """Segment-reduction-free backward.
+
+    The fwd kernel saves its online-softmax stats ``(m, l)`` per node, and the
+    softmax-VJP inner term needs no edge-level reduction either (the flash
+    -attention "delta" identity): ``sum_seg(attn * dattn) = <out, g>`` per
+    head at NODE granularity, because ``out = sum_seg attn * v``. The whole
+    backward is then one packed sorted gather + elementwise math — no
+    ``segment_max``/``segment_sum`` recompute like a naive VJP would need.
+    """
+    scores, values, segments, ml, out = res
     e, h = scores.shape
     d = values.shape[1]
     dh = d // h
-    attn = _xla_attn_weights(
-        scores.astype(jnp.float32), segments, num_nodes
-    )  # [E, H]
-    g_pad = jnp.concatenate(
-        [g.astype(jnp.float32), jnp.zeros((1, d), jnp.float32)], axis=0
+    g32 = g.astype(jnp.float32)
+    delta = (out.astype(jnp.float32) * g32).reshape(num_nodes, h, dh).sum(-1)
+    # pack [m | l | delta | g] so the per-edge node-side data is ONE gather;
+    # the pad row (all zeros) serves masked edges (segment == num_nodes):
+    # attn = exp(-1e30 - 0) / (0 + eps) = 0 -> zero grads, as in the fwd.
+    pack = jnp.concatenate([ml[:h].T, ml[h:].T, delta, g32], axis=1)
+    pack = jnp.concatenate(
+        [pack, jnp.zeros((1, 3 * h + d), jnp.float32)], axis=0
     )
-    g_e = jnp.take(g_pad, jnp.minimum(segments, num_nodes), axis=0)  # [E, D]
+    rows = jnp.take(pack, jnp.minimum(segments, num_nodes), axis=0)  # [E, 3H+D]
+    m_e = rows[:, :h]
+    l_e = rows[:, h : 2 * h]
+    delta_e = rows[:, 2 * h : 3 * h]
+    g_e = rows[:, 3 * h :]
+    # same epsilon as the kernel's final normalization
+    attn = jnp.exp(scores.astype(jnp.float32) - m_e) / (l_e + 1e-16)  # [E, H]
     attn_exp = jnp.repeat(attn, dh, axis=1)  # [E, D] head-blocked
     dvalues = (attn_exp * g_e).astype(values.dtype)
-    # softmax VJP: ds = attn * (dattn - sum_seg(attn * dattn))
-    dattn = (values.astype(jnp.float32) * g_e).reshape(e, h, dh).sum(-1)  # [E, H]
-    inner = jax.ops.segment_sum(
-        attn * dattn, segments, num_segments=num_nodes + 1
-    )
-    dscores = (attn * (dattn - inner[segments])).astype(scores.dtype)
+    dattn = (values.astype(jnp.float32) * g_e).reshape(e, h, dh).sum(-1)
+    dscores = (attn * (dattn - delta_e)).astype(scores.dtype)
     return dscores, dvalues, None, None
 
 
