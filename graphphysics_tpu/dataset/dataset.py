@@ -3,8 +3,10 @@
 Host-side re-design of the reference ``graphphysics/dataset/dataset.py`` with
 one structural addition: every item is padded to static node/edge *budgets*
 (rounded to a hardware-friendly multiple) so the device side compiles once.
-Budgets are computed from the first processed item with headroom, or given
-explicitly.
+Budgets are given explicitly or derived from the node-count scan plus a
+CANONICAL sample (item 0 at a fixed seed) with headroom — canonical, not
+"first item processed", so independent processes/hosts derive identical
+static shapes.
 """
 
 from __future__ import annotations
@@ -108,6 +110,7 @@ class BaseDataset(abc.ABC):
         self._bucket_node_budgets: Optional[List[int]] = None
         self._bucket_edge_budgets: Optional[List[int]] = None
         self._traj_bucket: Optional[np.ndarray] = None
+        self._canonical_sample_cache: Optional[RawSample] = None
         self._epoch = 0
 
         self.world_pos_index_start = None
@@ -168,6 +171,13 @@ class BaseDataset(abc.ABC):
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, self._epoch, index])
         )
+        sample, exclude = self._build_sample(index, rng)
+        return self._pad(sample, exclude)
+
+    def _build_sample(self, index: int, rng: np.random.Generator):
+        """The pre-padding item pipeline: load -> preprocessing -> k-hop ->
+        random edges -> masking. Shared by ``__getitem__`` and the canonical
+        budget derivation."""
         sample = self._load(index)
         traj_index = sample.traj_index
 
@@ -184,8 +194,21 @@ class BaseDataset(abc.ABC):
             sample.edge_attr = None
         sample = self._add_random_edges(sample, rng)
         exclude = self._masked_indexes(sample, rng)
+        return sample, exclude
 
-        return self._pad(sample, exclude)
+    def _canonical_sample(self) -> RawSample:
+        """The processed (pre-padding) sample of flat item 0 at a FIXED seed
+        (epoch 0) — the single source for every lazily-derived static budget
+        (edges-per-node extrapolation, CSR chunk count). Deriving from
+        whichever sample a process happens to pad first would let independent
+        processes (multi-host training in particular) derive different padded
+        shapes and compile mismatched programs."""
+        if self._canonical_sample_cache is None:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, 0, 0])
+            )
+            self._canonical_sample_cache = self._build_sample(0, rng)[0]
+        return self._canonical_sample_cache
 
     def trajectory_indices(self, traj_index: int) -> List[int]:
         per = self.frames_per_trajectory
@@ -297,10 +320,13 @@ class BaseDataset(abc.ABC):
     def _bucket_budgets(self, sample: RawSample) -> tuple:
         b = int(self._traj_bucket[sample.traj_index])
         if self._bucket_edge_budgets is None:
-            # extrapolate the FIRST sample's edges-per-node to every bucket
-            # (same caveat as the global budget: degree-heterogeneous data
-            # should raise edge_headroom; overflow raises loudly)
-            per_node = sample.num_edges / max(sample.num_nodes, 1)
+            # extrapolate the CANONICAL sample's edges-per-node to every
+            # bucket — deterministic across processes/hosts, unlike "the
+            # first sample this process pads" (same caveat as the global
+            # budget: degree-heterogeneous data should raise edge_headroom;
+            # overflow raises loudly)
+            canon = self._canonical_sample()
+            per_node = canon.num_edges / max(canon.num_nodes, 1)
             self._bucket_edge_budgets = [
                 round_up(
                     int(per_node * nb * self.edge_headroom),
@@ -340,36 +366,42 @@ class BaseDataset(abc.ABC):
         if self.node_budget is None:
             counts = self.scan_node_counts()
             # no preprocessing step changes the node count, so the max raw
-            # trajectory size bounds every future sample
-            n_max = max(max(counts) if counts else n, n)
+            # trajectory size bounds every future sample; with no scan the
+            # CANONICAL sample sizes the budget (deterministic across
+            # processes/hosts — a larger sample later raises loudly below)
+            canon_n = self._canonical_sample().num_nodes
+            n_max = max(max(counts) if counts else 0, canon_n)
             self.node_budget = round_up(n_max, self.bucket_multiple)
             if self.edge_layout == "csr":
                 # the Pallas attention kernel needs whole node blocks (also
                 # keeps concat-batch blocks within one graph)
-                from graphphysics_tpu.ops.pallas_segment import BLOCK_NODES
+                from graphphysics_tpu.ops.pallas_attention import BLOCK_NODES
 
                 self.node_budget = round_up(self.node_budget, BLOCK_NODES)
-            if self.edge_budget is None and counts and max(counts) > n:
+            if self.edge_budget is None and counts and max(counts) > canon_n:
                 # scale the edge budget by the worst-case node count. NB this
-                # extrapolates the FIRST sample's edges-per-node; for
+                # extrapolates the CANONICAL sample's edges-per-node; for
                 # degree-heterogeneous datasets pass edge_budget explicitly
                 # or raise edge_headroom (the overflow error says so).
-                per_node = e / max(n, 1)
+                canon = self._canonical_sample()
+                per_node = canon.num_edges / max(canon.num_nodes, 1)
                 self.edge_budget = round_up(
                     int(per_node * self.node_budget * self.edge_headroom),
                     self.bucket_multiple,
                 )
         if n > self.node_budget:
             raise ValueError(
-                f"sample exceeds node budget: {n}>{self.node_budget}"
+                f"sample exceeds node budget: {n}>{self.node_budget}; pass "
+                f"node_budget explicitly for mixed-size datasets"
             )
 
         if self.edge_layout == "ell":
             graph = self._pad_ell(sample)
         else:
             if self.edge_budget is None:
+                canon_e = self._canonical_sample().num_edges
                 self.edge_budget = round_up(
-                    int(e * self.edge_headroom), self.bucket_multiple
+                    int(canon_e * self.edge_headroom), self.bucket_multiple
                 )
             if e > self.edge_budget:
                 raise ValueError(
@@ -417,8 +449,21 @@ class BaseDataset(abc.ABC):
             node_type_index=self.node_type_index,
         )
         if self.csr_max_chunks is None:
-            # +2 headroom: random/world edges can skew later samples' degrees
-            self.csr_max_chunks = (graph.csr_max_chunks or 1) + 2
+            # +2 headroom: random/world edges can skew later samples' degrees.
+            # Derived from the CANONICAL sample (not whichever sample this
+            # process pads first) so independent hosts agree on the static
+            # chunk budget.
+            from graphphysics_tpu.ops.pallas_attention import (
+                compute_block_bounds,
+                compute_max_chunks_bounds,
+            )
+
+            canon = self._canonical_sample()
+            ss = np.sort(np.asarray(canon.senders))
+            bounds = compute_block_bounds(
+                ss, self.node_budget, num_real_edges=len(ss)
+            )
+            self.csr_max_chunks = compute_max_chunks_bounds(bounds) + 2
         if (graph.csr_max_chunks or 1) > self.csr_max_chunks:
             raise ValueError(
                 f"sample needs {graph.csr_max_chunks} CSR chunks > static "

@@ -119,6 +119,19 @@ class GraphLoader:
         )
 
     def _collate(self, graphs) -> Graph:
+        if len(graphs) < self.batch_size:
+            # partial batch (a size bucket smaller than one batch, or the
+            # last chunk with drop_last=False): pad with fully-MASKED copies
+            # of the last graph so every batch keeps the static shape —
+            # data-parallel stack sharding needs B divisible by the device
+            # count, and concat batches would otherwise recompile. Masked
+            # filler contributes zero loss, zero gradients, and zero
+            # normalizer statistics (everything is node/edge-mask weighted).
+            filler = graphs[-1].replace(
+                node_mask=np.zeros_like(graphs[-1].node_mask),
+                edge_mask=np.zeros_like(graphs[-1].edge_mask),
+            )
+            graphs = list(graphs) + [filler] * (self.batch_size - len(graphs))
         if self.collate == "stack":
             return stack_graphs(graphs)
         return concat_graphs(graphs)

@@ -138,13 +138,19 @@ def test_small_bucket_never_silently_dropped(mixed_env):
     """drop_last must not delete an entire mesh-size class: a bucket smaller
     than one batch still yields its partial batch."""
     ds, _ = _make_ds(mixed_env, bucket_multiple=64)
-    # 10 items per bucket, batch_size 16 > bucket -> one partial batch each
+    # 10 items per bucket, batch_size 16 > bucket -> one partial batch each,
+    # padded to the full batch size with masked filler (static shapes)
     loader = GraphLoader(ds, batch_size=16, shuffle=False, prefetch=0)
     assert len(loader) == 2
     batches = list(loader)
     assert len(batches) == 2
-    per_node = sorted(b.x.shape[0] // 10 for b in batches)  # 10 items each
+    per_node = sorted(b.x.shape[0] // 16 for b in batches)
     assert per_node == [64, 192]
+    # the 10 real graphs are intact; the 6 filler graphs carry no valid nodes
+    for b in batches:
+        n = b.x.shape[0] // 16
+        valid = b.node_mask.reshape(16, n).sum(axis=1)
+        assert all(valid[:10] > 0) and all(valid[10:] == 0)
     # ... while a bucket with >= 1 full batch still drops its tail
     loader8 = GraphLoader(ds, batch_size=8, shuffle=False, prefetch=0)
     assert len(loader8) == 2  # 10 // 8 = 1 per bucket, tails dropped
@@ -214,3 +220,41 @@ def test_bucketed_fit_and_validation_e2e(mixed_env, tmp_path):
         assert chunks == [[0, 1], [2, 3]]  # grouped by bucket
         assert rmse_par == pytest.approx(rmse_seq, rel=1e-5)
         assert trainer.last_val_loss == pytest.approx(vloss_seq, rel=1e-5)
+
+
+def test_budgets_canonical_across_first_touched_index(mixed_env):
+    """Lazily-derived static budgets must not depend on which item a process
+    pads first — multi-host runs derive them independently and mismatched
+    budgets compile mismatched programs."""
+    ds_a, _ = _make_ds(mixed_env, bucket_multiple=64)
+    ds_b, _ = _make_ds(mixed_env, bucket_multiple=64)
+    big_idx = ds_b.trajectory_indices(2)[0]
+    ds_a[0]  # host A pads a SMALL trajectory first
+    ds_b[big_idx]  # host B pads a BIG trajectory first
+    ds_a[big_idx]
+    ds_b[0]
+    assert ds_a._bucket_node_budgets == ds_b._bucket_node_budgets
+    assert ds_a._bucket_edge_budgets == ds_b._bucket_edge_budgets
+    # and the padded shapes agree item-for-item
+    for i in (0, big_idx):
+        ga, gb = ds_a[i], ds_b[i]
+        assert ga.x.shape == gb.x.shape
+        assert ga.senders.shape == gb.senders.shape
+
+
+def test_partial_bucket_batch_padded_with_masked_filler(mixed_env):
+    """A bucket smaller than one batch yields a FULL-size batch padded with
+    fully-masked filler graphs (static shapes for DP sharding; filler
+    contributes nothing to loss/normalizer)."""
+    ds, _ = _make_ds(mixed_env, bucket_multiple=64)
+    # batch_size 16 > the 10 items per bucket -> whole_bucket partial chunks
+    loader = GraphLoader(ds, batch_size=16, shuffle=False, prefetch=0,
+                         collate="stack")
+    batches = list(loader)
+    assert len(batches) == 2  # one partial chunk per bucket, both yielded
+    for b in batches:
+        assert b.x.shape[0] == 16  # static batch dimension
+        per_graph_valid = b.node_mask.sum(axis=1)
+        assert all(per_graph_valid[:10] > 0)  # real graphs intact
+        assert all(per_graph_valid[10:] == 0)  # filler fully masked
+        assert b.edge_mask[10:].sum() == 0
