@@ -128,16 +128,28 @@ class H5Dataset(BaseDataset):
 
     def scan_node_counts(self):
         f = self._handle()
+        shape_meta = self.meta["features"]["mesh_pos"]["shape"]
+        d = shape_meta[-1]
         counts = []
         for key in self.datasets_index:
-            shape_meta = self.meta["features"]["mesh_pos"]["shape"]
             arr = f[key]["mesh_pos"]
-            # stored [T, N, d] -> N directly; any flat layout ([T*N, d] or
-            # 1D) -> divide the element count by T*d per the meta schema
-            if arr.ndim == 3 and arr.shape[-1] == shape_meta[-1]:
+            # stored with the meta's own rank ([T, N, d], or static [N, d]
+            # without a time axis) -> N directly
+            if arr.ndim == len(shape_meta) and arr.ndim >= 2 and arr.shape[-1] == d:
                 n = arr.shape[-2]
+            elif len(shape_meta) == 2:
+                # static mesh_pos stored flat: element count / d
+                n = int(np.prod(arr.shape)) // d
             else:
-                n = int(np.prod(arr.shape) // (shape_meta[0] * shape_meta[-1]))
+                # flat dynamic layout ([T*N, d] or 1D): element count /
+                # (T * d); the meta time axis may be -1 (inferred), so fall
+                # back to trajectory_length
+                t = (
+                    shape_meta[0]
+                    if shape_meta[0] and shape_meta[0] > 0
+                    else self.trajectory_length
+                )
+                n = int(np.prod(arr.shape)) // (t * d)
             counts.append(int(n))
         return counts
 

@@ -4,8 +4,13 @@ reading through the first-party ``utils.xdmf`` reader.
 Supports the reference's randomized multi-step-dt training: the target frame
 is ``frame + U[1, random_next]`` and the previous frame ``frame - U[1,
 random_prev]``, both reset to 1 in validation mode
-(``xdmf_dataset.py:27-28,49-52,89-100``); the offsets scale ``target_dt`` /
-``previous_dt``.
+(``xdmf_dataset.py:27-28,49-52,89-100``); the offsets scale the sample's
+``target_dt`` / ``previous_dt`` annotations. Like the reference, those
+annotations are not consumed by the model by default (the reference leaves
+"add target_dt and previous_dt as features per node" as a TODO,
+``xdmf_dataset.py:158``); ``dt_features=True`` implements that TODO — the
+dts are appended as trailing node-feature columns so the model can condition
+on the prediction horizon (set ``feature_index_end`` to cover them).
 """
 
 from __future__ import annotations
@@ -28,12 +33,14 @@ class XDMFDataset(BaseDataset):
         switch_to_val: bool = False,
         random_prev: int = 1,
         random_next: int = 1,
+        dt_features: bool = False,
         **kwargs,
     ):
         super().__init__(meta_path=meta_path, **kwargs)
         self.dt = self.meta.get("dt", 1) or 1
         self.random_next = random_next
         self.random_prev = random_prev
+        self.dt_features = dt_features
         if switch_to_val:
             xdmf_folder = xdmf_folder.replace("train", "test")
             self.random_next = 1
@@ -116,5 +123,14 @@ class XDMFDataset(BaseDataset):
         if previous_data is not None:
             sample.previous_data = previous_data
             sample.previous_dt = -prev_off * self.dt
+        if self.dt_features:
+            # the reference's TODO (xdmf_dataset.py:158): horizon dts as
+            # TRAILING node-feature columns (existing positional indices —
+            # node_type_index, feature slices, the time column — stay valid)
+            n = sample.x.shape[0]
+            cols = [np.full((n, 1), sample.target_dt, np.float32)]
+            if previous_data is not None:
+                cols.append(np.full((n, 1), sample.previous_dt, np.float32))
+            sample.x = np.concatenate([sample.x] + cols, axis=1)
         sample.traj_index = traj_index
         return sample

@@ -181,6 +181,9 @@ def get_dataset(
         return XDMFDataset(
             xdmf_folder=dataset_params["xdmf_folder"],
             switch_to_val=switch_to_val,
+            random_next=dataset_params.get("random_next", 1),
+            random_prev=dataset_params.get("random_prev", 1),
+            dt_features=dataset_params.get("dt_features", False),
             **common,
         )
     raise ValueError(f"Dataset extension '{extension}' not supported.")

@@ -404,3 +404,80 @@ def test_panels_xdmf_schema_and_layout(tmp_path):
     assert np.allclose(g.x[:n, 4], g.x[0, 4])
     # target = next-frame Vitesse
     assert g.y.shape[1] == 3
+
+
+def test_h5_scan_node_counts_layouts(tmp_path):
+    """scan_node_counts across the meta-schema layouts frame_to_sample
+    supports: per-frame [T, N, d], static [N, d] without a time axis, and
+    flat storage of either (with -1 dims in the meta shape)."""
+    import h5py
+    import json
+
+    from graphphysics_tpu.dataset.h5_dataset import H5Dataset
+
+    steps, d = 5, 2
+    ns = [30, 44]
+
+    def write(name, meta_shape, store):
+        p = str(tmp_path / f"{name}.h5")
+        with h5py.File(p, "w") as f:
+            for tr, n in enumerate(ns):
+                g = f.create_group(str(tr))
+                pos = np.arange(n * d, dtype=np.float32).reshape(n, d)
+                g["mesh_pos"] = store(pos)
+                g["cells"] = np.zeros((1, 3), np.int32)
+                g["velocity"] = np.zeros((steps, n, d), np.float32)
+        mp = str(tmp_path / f"{name}_meta.json")
+        with open(mp, "w") as fp:
+            json.dump({
+                "dt": 0.01, "trajectory_length": steps,
+                "features": {
+                    "mesh_pos": {"type": "static", "shape": meta_shape,
+                                 "dtype": "float32"},
+                    "cells": {"type": "static", "shape": [-1, 3],
+                              "dtype": "int32"},
+                    "velocity": {"type": "dynamic", "shape": [steps, -1, d],
+                                 "dtype": "float32"},
+                },
+                "field_names": ["velocity"],
+            }, fp)
+        return p, mp
+
+    # static [N, d] stored with its own rank
+    p, mp = write("static2d", [-1, d], lambda pos: pos)
+    assert H5Dataset(h5_path=p, meta_path=mp).scan_node_counts() == ns
+    # static stored FLAT [N*d]
+    p, mp = write("staticflat", [-1, d], lambda pos: pos.ravel())
+    assert H5Dataset(h5_path=p, meta_path=mp).scan_node_counts() == ns
+    # per-frame [T, N, d] stored with its own rank
+    p, mp = write("dyn3d", [steps, -1, d],
+                  lambda pos: np.repeat(pos[None], steps, axis=0))
+    assert H5Dataset(h5_path=p, meta_path=mp).scan_node_counts() == ns
+    # per-frame stored flat [T*N, d] with an inferred (-1) time axis
+    p, mp = write("dynflat", [-1, -1, d],
+                  lambda pos: np.repeat(pos[None], steps, 0).reshape(-1, d))
+    assert H5Dataset(h5_path=p, meta_path=mp).scan_node_counts() == ns
+
+
+def test_xdmf_dt_features_appended(aneurysm):
+    """dt_features=True (the reference's xdmf_dataset.py:158 TODO): target/
+    previous horizon dts appended as trailing node-feature columns, leaving
+    every existing positional index intact."""
+    folder, meta_path = aneurysm
+    from graphphysics_tpu.dataset.xdmf_dataset import XDMFDataset
+
+    base = XDMFDataset(xdmf_folder=folder, meta_path=meta_path,
+                       use_previous_data=True)
+    with_dt = XDMFDataset(xdmf_folder=folder, meta_path=meta_path,
+                          use_previous_data=True, dt_features=True,
+                          random_next=2)
+    g0, g1 = base[1], with_dt[1]
+    assert g1.x.shape[1] == g0.x.shape[1] + 2
+    # leading columns identical (positional indices unaffected)
+    np.testing.assert_array_equal(g1.x[:, : g0.x.shape[1]], g0.x)
+    dt = with_dt.dt
+    real = g1.node_mask
+    tdt = g1.x[real, -2]
+    pdt = g1.x[real, -1]
+    assert np.all(tdt == tdt[0]) and tdt[0] in (dt, 2 * dt)
+    assert np.all(pdt == -dt)
