@@ -133,12 +133,22 @@ def save_checkpoint(
         raise ValueError(f"unknown checkpoint backend {backend!r}")
     leaves = jax.tree_util.tree_leaves(state)
     payload = {str(i): np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    if metadata is not None:
+        # metadata rides INSIDE the state file so one os.replace commits both
+        # atomically — a crash between two separate replaces would pair new
+        # state with the previous save's metadata (stale batch_offset =>
+        # resume silently replays batches into already-updated params)
+        payload["__metadata__"] = np.frombuffer(
+            json.dumps(metadata).encode(), dtype=np.uint8
+        )
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(msgpack_serialize(payload))
     os.replace(tmp, path)
     if metadata is not None:
+        # advisory human-readable sidecar (load_metadata prefers the embedded
+        # copy; the sidecar may lag by one save after a crash)
         tmp_meta = path + ".meta.json.tmp"
         with open(tmp_meta, "w") as f:
             json.dump(metadata, f)
@@ -187,6 +197,7 @@ def load_checkpoint(path: str, template: Any) -> Any:
 
     with open(path, "rb") as f:
         payload = msgpack_restore(f.read())
+    payload.pop("__metadata__", None)
     treedef = jax.tree_util.tree_structure(template)
     n = treedef.num_leaves
     if len(payload) != n:
@@ -207,6 +218,14 @@ def load_metadata(path: str) -> dict:
             args=ocp.args.Composite(metadata=ocp.args.JsonRestore()),
         )
         return dict(restored["metadata"] or {})
+    # prefer the copy embedded in the state file (committed atomically with
+    # the state); fall back to the sidecar for older checkpoints
+    if os.path.exists(path) and not is_torch_checkpoint(path):
+        with open(path, "rb") as f:
+            payload = msgpack_restore(f.read())
+        embedded = payload.get("__metadata__")
+        if embedded is not None:
+            return json.loads(np.asarray(embedded).tobytes().decode())
     meta_path = path + ".meta.json"
     if os.path.exists(meta_path):
         with open(meta_path) as f:

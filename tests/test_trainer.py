@@ -529,3 +529,42 @@ def test_cosine_warmup_schedule_shape_and_clamp():
     np.testing.assert_allclose(lrs[max_iters - 1], lr * 1e-3, rtol=1e-6)
     # clamp: steps past max_iters stay at the floor, never ramp back up
     assert (lrs[max_iters:] == lrs[max_iters - 1]).all()
+
+
+def test_checkpoint_metadata_embedded_atomically(tmp_path):
+    """Metadata rides inside the msgpack state file (one os.replace commits
+    both): a stale sidecar left by a crash between the two writes must never
+    win over the embedded copy, and checkpoints without a sidecar still
+    restore their metadata."""
+    import json
+
+    import jax.numpy as jnp
+
+    from graphphysics_tpu.training.checkpoint import (
+        load_checkpoint,
+        load_metadata,
+        save_checkpoint,
+    )
+
+    state = {"a": jnp.arange(4.0), "b": {"c": jnp.zeros((2, 2))}}
+    ckpt = str(tmp_path / "state.msgpack")
+    save_checkpoint(ckpt, state, metadata={"epoch": 3, "batch_offset": 17})
+
+    # simulate the crash window: the sidecar still holds the PREVIOUS save's
+    # metadata while the state file is new
+    with open(ckpt + ".meta.json", "w") as f:
+        json.dump({"epoch": 2, "batch_offset": 99}, f)
+    assert load_metadata(ckpt) == {"epoch": 3, "batch_offset": 17}
+
+    # no sidecar at all: embedded copy still serves
+    import os
+
+    os.remove(ckpt + ".meta.json")
+    assert load_metadata(ckpt) == {"epoch": 3, "batch_offset": 17}
+
+    # and the metadata key never leaks into the restored state tree
+    restored = load_checkpoint(ckpt, state)
+    assert set(restored.keys()) == {"a", "b"}
+    import numpy as np
+
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(4.0))
