@@ -134,6 +134,7 @@ class Trainer:
         self.tx = None
         self._train_step = None
         self._val_traj_cache: Dict[int, Graph] = {}
+        self._traj_sig_cache: Dict[int, tuple] = {}
         self._val_traj_cache_owner = None
         self.last_val_loss: Optional[float] = None
 
@@ -153,11 +154,15 @@ class Trainer:
 
     def init_state(self, example_batch: Graph, num_steps: int):
         """Initialize params/normalizers/optimizer from one example batch."""
-        from graphphysics_tpu.core.graph import flatten_batched_graph
-
         if self.data_parallel or self.gradient_accumulation:
-            gj = flatten_batched_graph(
-                jax.tree_util.tree_map(jnp.asarray, example_batch)
+            # init from ONE graph of the stacked batch: parameter shapes
+            # don't depend on batch size, and flax init runs a forward — on
+            # the full flattened batch that would materialize on one device
+            # exactly the monolithic-batch activations DP / gradient
+            # accumulation exist to avoid (OOM at startup for batches sized
+            # to fit only when sharded/microbatched)
+            gj = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a[0]), example_batch
             )
         else:
             gj = jax.device_put(example_batch)
@@ -444,6 +449,7 @@ class Trainer:
         # reusing a garbage-collected one's address cannot alias the cache.
         if val_dataset is not self._val_traj_cache_owner:
             self._val_traj_cache.clear()
+            self._traj_sig_cache.clear()
             self._val_traj_cache_owner = val_dataset
         if traj not in self._val_traj_cache:
             while len(self._val_traj_cache) >= self._VAL_TRAJ_CACHE_MAX:
@@ -503,14 +509,25 @@ class Trainer:
     def _traj_signature(self, dataset, traj: int):
         """Cheap can-these-trajectories-stack probe: frame count plus the
         first frame's pytree structure and leaf shapes (building one frame is
-        ~T times cheaper than stacking the whole trajectory)."""
+        ~T times cheaper than stacking the whole trajectory). Cached per
+        (dataset, trajectory) — shapes are static for a fixed dataset, and
+        rebuilding a full item per trajectory on EVERY validate would double
+        the host-side validation I/O for nothing."""
+        if dataset is not self._val_traj_cache_owner:
+            self._val_traj_cache.clear()
+            self._traj_sig_cache.clear()
+            self._val_traj_cache_owner = dataset
+        if traj in self._traj_sig_cache:
+            return self._traj_sig_cache[traj]
         idx = dataset.trajectory_indices(traj)
         g = dataset[idx[0]]
-        return (
+        sig = (
             len(idx),
             jax.tree_util.tree_structure(g),
             tuple(np.shape(l) for l in jax.tree_util.tree_leaves(g)),
         )
+        self._traj_sig_cache[traj] = sig
+        return sig
 
     def _traj_stats(self, x0, node_mask, preds, targets, fetch_preds: bool):
         """Per-trajectory validation stats from device arrays: (rmse, count,
