@@ -18,11 +18,18 @@ import time
 import numpy as np
 
 
-def build_graph(n, e, node_features, edge_features, output_size, batch, seed=0):
+def build_graph(n, e, node_features, edge_features, output_size, batch, seed=0,
+                layout="coo"):
     import jax
     import jax.numpy as jnp
 
-    from graphphysics_tpu.core.graph import concat_graphs, pad_graph_np
+    from graphphysics_tpu.core.graph import (
+        concat_graphs,
+        pad_graph_csr_np,
+        pad_graph_np,
+    )
+
+    pad = pad_graph_csr_np if layout == "csr" else pad_graph_np
 
     def one(s):
         r = np.random.default_rng(s)
@@ -33,7 +40,7 @@ def build_graph(n, e, node_features, edge_features, output_size, batch, seed=0):
             if edge_features
             else None
         )
-        return pad_graph_np(
+        return pad(
             x,
             r.normal(size=(n, 2)).astype(np.float32),
             r.integers(0, n, e).astype(np.int32),
@@ -63,6 +70,14 @@ WORKLOADS = {
     # (15 blocks x [E, h] residuals would not fit HBM otherwise)
     "aneurysm_epd": dict(model="epd", mp=15, hidden=128, heads=4, n=66560,
                          e=524288, batch=1, out=3, edge_feats=4, remat=True),
+    # edge_layout="csr" variants: attention through the fused Pallas
+    # softmax+SpMM kernel with the segment-reduction-free backward
+    "aneurysm_csr": dict(model="transformer", mp=10, hidden=64, heads=4,
+                         n=66560, e=524288, batch=1, out=3, edge_feats=0,
+                         layout="csr"),
+    "panels_csr": dict(model="transformer", mp=15, hidden=128, heads=4,
+                       n=2048, e=12288, batch=8, out=3, edge_feats=0,
+                       layout="csr"),
 }
 
 
@@ -83,7 +98,8 @@ def run(name):
     w = WORKLOADS[name]
     node_raw = w["out"] + 2  # fields + node_type + time
     graph = build_graph(
-        w["n"], w["e"], node_raw, w["edge_feats"], w["out"], w["batch"]
+        w["n"], w["e"], node_raw, w["edge_feats"], w["out"], w["batch"],
+        layout=w.get("layout", "coo"),
     )
     cfg = SimulatorConfig(
         node_input_size=w["out"] + NodeType.SIZE,
