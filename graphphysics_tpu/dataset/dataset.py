@@ -111,6 +111,7 @@ class BaseDataset(abc.ABC):
         self._bucket_edge_budgets: Optional[List[int]] = None
         self._traj_bucket: Optional[np.ndarray] = None
         self._canonical_sample_cache: Optional[RawSample] = None
+        self._padded_any = False  # guards set_edge_layout
         self._epoch = 0
 
         self.world_pos_index_start = None
@@ -126,6 +127,27 @@ class BaseDataset(abc.ABC):
         self._khop_attr_cache: Dict[int, np.ndarray] = {}
 
     # ------------------------------------------------------------------ API
+
+    def set_edge_layout(self, edge_layout: str) -> None:
+        """Switch the device edge layout BEFORE any item is padded.
+
+        Used by ``edge_layout: "auto"`` in the training config
+        (``parse_parameters.get_dataset``): the layout choice depends on the
+        model family and mesh scale, which the dataset alone doesn't know.
+        Raises once an item has been padded — items already handed out would
+        have a different static shape than future ones."""
+        if edge_layout not in ("ell", "coo", "csr"):
+            raise ValueError(f"unknown edge_layout {edge_layout!r}")
+        if edge_layout == self.edge_layout:
+            return
+        if self.num_buckets > 1:
+            raise ValueError("num_buckets > 1 requires edge_layout='coo'")
+        if self._padded_any:
+            raise ValueError(
+                "set_edge_layout must run before the first item is padded "
+                "(items already handed out have a different static shape)"
+            )
+        self.edge_layout = edge_layout
 
     @property
     @abc.abstractmethod
@@ -337,6 +359,7 @@ class BaseDataset(abc.ABC):
         return self._bucket_node_budgets[b], self._bucket_edge_budgets[b]
 
     def _pad(self, sample: RawSample, exclude: Optional[np.ndarray]) -> Graph:
+        self._padded_any = True
         n, e = sample.num_nodes, sample.num_edges
         if self._materialize_buckets():
             nb, eb = self._bucket_budgets(sample)

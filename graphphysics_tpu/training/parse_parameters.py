@@ -153,6 +153,10 @@ def get_dataset(
 
     if "edge_layout" not in budget_kwargs and dataset_params.get("edge_layout"):
         budget_kwargs["edge_layout"] = dataset_params["edge_layout"]
+    auto_layout = budget_kwargs.get("edge_layout") == "auto"
+    if auto_layout:
+        # resolved after construction, once the dataset can report its scale
+        budget_kwargs["edge_layout"] = "coo"
     for k in ("num_buckets", "bucket_multiple", "edge_headroom"):
         # explicit None checks: a falsy 0 in the config must reach the
         # dataset and fail its validation loudly, not be silently defaulted
@@ -171,14 +175,14 @@ def get_dataset(
         **budget_kwargs,
     )
     if extension == "h5":
-        return H5Dataset(
+        ds = H5Dataset(
             h5_path=dataset_params["h5_path"],
             switch_to_val=switch_to_val,
             **common,
         )
-    if extension == "xdmf":
+    elif extension == "xdmf":
         common.pop("world_pos_parameters")
-        return XDMFDataset(
+        ds = XDMFDataset(
             xdmf_folder=dataset_params["xdmf_folder"],
             switch_to_val=switch_to_val,
             random_next=dataset_params.get("random_next", 1),
@@ -186,4 +190,30 @@ def get_dataset(
             dt_features=dataset_params.get("dt_features", False),
             **common,
         )
-    raise ValueError(f"Dataset extension '{extension}' not supported.")
+    else:
+        raise ValueError(f"Dataset extension '{extension}' not supported.")
+    if auto_layout:
+        _resolve_auto_edge_layout(ds, param, dataset_params)
+    return ds
+
+
+# Fused-Pallas CSR attention wins only at large-3D-mesh scale: measured
+# 1.41x faster at 66k nodes / 524k edges, ~parity around 16k flat nodes,
+# and SLOWER on small meshes (kernel grid overhead) — see PARITY.md §2.3.
+# "auto" opts in only inside the clear-win regime.
+AUTO_CSR_MIN_NODES = 32768
+
+
+def _resolve_auto_edge_layout(ds, param, dataset_params) -> None:
+    """Resolve ``edge_layout: "auto"``: route transformer attention through
+    the fused Pallas CSR kernel when the mesh is large enough to profit,
+    keep the XLA-fused COO path otherwise. EPD never uses the CSR kernel,
+    and size buckets require COO, so both stay on COO."""
+    if param["model"].get("type") != "transformer":
+        return
+    if getattr(ds, "num_buckets", 1) > 1:
+        return
+    threshold = dataset_params.get("auto_csr_min_nodes", AUTO_CSR_MIN_NODES)
+    counts = ds.scan_node_counts()
+    if counts and max(counts) >= threshold:
+        ds.set_edge_layout("csr")

@@ -200,3 +200,75 @@ def test_csr_chunk_budget_independent_of_padding():
     assert compute_max_chunks_bounds(np.asarray(g_loose.csr_bounds)) == (
         g_loose.csr_max_chunks
     )
+
+
+def _auto_param(h5_path, meta_path, model_type="transformer", **ds_extra):
+    dataset = {"extension": "h5", "h5_path": h5_path, "meta_path": meta_path,
+               "khop": 1, "edge_layout": "auto", **ds_extra}
+    return {
+        "dataset": dataset,
+        "model": {"type": model_type, "message_passing_num": 1,
+                  "hidden_size": 16, "node_input_size": 2, "output_size": 2,
+                  "edge_input_size": 0 if model_type == "transformer" else 3,
+                  "num_heads": 4},
+        "index": {"feature_index_start": 0, "feature_index_end": 2,
+                  "output_index_start": 0, "output_index_end": 2,
+                  "node_type_index": 2},
+        "transformations": {"preprocessing": {"noise": 0.02,
+                                              "noise_index_start": [0],
+                                              "noise_index_end": [2],
+                                              "masking": 0},
+                            "world_pos_parameters": {"use": False}},
+    }
+
+
+def test_auto_edge_layout_resolution(tmp_path):
+    """edge_layout='auto' picks the fused-Pallas CSR path only for
+    transformer models on meshes at or above the threshold; EPD and
+    small meshes stay on the XLA-fused COO path."""
+    from graphphysics_tpu.training.parse_parameters import (
+        get_dataset,
+        get_preprocessing,
+    )
+    from tests.fixtures import write_cylinder_h5
+
+    h5_path, meta_path = write_cylinder_h5(str(tmp_path), num_traj=1,
+                                           steps=4, nx=8, ny=6)
+    # the fixture mesh is 48 nodes: above a tiny threshold -> csr
+    param = _auto_param(h5_path, meta_path, auto_csr_min_nodes=16)
+    ds = get_dataset(param, get_preprocessing(param))
+    assert ds.edge_layout == "csr"
+    assert ds[0].csr_bounds is not None
+    # below the default (32768-node) threshold -> coo
+    param = _auto_param(h5_path, meta_path)
+    ds = get_dataset(param, get_preprocessing(param))
+    assert ds.edge_layout == "coo"
+    # EPD never routes through the CSR attention kernel -> coo
+    param = _auto_param(h5_path, meta_path, model_type="epd",
+                        auto_csr_min_nodes=16)
+    ds = get_dataset(param, get_preprocessing(param))
+    assert ds.edge_layout == "coo"
+
+
+def test_set_edge_layout_guards(tmp_path):
+    """set_edge_layout refuses once an item has been padded (earlier items
+    would have a different static shape) but is free before that."""
+    import pytest
+
+    from graphphysics_tpu.training.parse_parameters import (
+        get_dataset,
+        get_preprocessing,
+    )
+    from tests.fixtures import write_cylinder_h5
+
+    h5_path, meta_path = write_cylinder_h5(str(tmp_path), num_traj=1,
+                                           steps=4, nx=8, ny=6)
+    param = _auto_param(h5_path, meta_path)
+    param["dataset"]["edge_layout"] = "coo"
+    ds = get_dataset(param, get_preprocessing(param))
+    ds.set_edge_layout("csr")
+    ds.set_edge_layout("coo")
+    ds[0]
+    ds.set_edge_layout("coo")  # no-op stays allowed
+    with pytest.raises(ValueError, match="before the first item"):
+        ds.set_edge_layout("csr")
