@@ -60,6 +60,8 @@ def build_argparser() -> argparse.ArgumentParser:
                         "here (view with TensorBoard/xprof)")
     p.add_argument("--profile_start_step", type=int, default=10)
     p.add_argument("--profile_num_steps", type=int, default=3)
+    p.add_argument("--progress", default="auto", choices=["auto", "on", "off"],
+                   help="in-place per-epoch progress line (auto: TTY only)")
     p.add_argument(
         "--external_features",
         default=None,
@@ -196,6 +198,7 @@ def main(argv=None) -> int:
         profile_dir=args.profile_dir,
         profile_start_step=args.profile_start_step,
         profile_num_steps=args.profile_num_steps,
+        progress={"auto": None, "on": True, "off": False}[args.progress],
         **prev_kwargs,
     )
     trainer.fit(

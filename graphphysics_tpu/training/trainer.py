@@ -66,6 +66,7 @@ class Trainer:
         profile_start_step: int = 10,
         profile_num_steps: int = 3,
         parallel_validation: bool = True,
+        progress: Optional[bool] = None,
     ):
         self.param = parameters
         self.learning_rate = learning_rate
@@ -119,6 +120,9 @@ class Trainer:
         # axis (reference validates strictly sequentially,
         # lightning_module.py:204-232)
         self.parallel_validation = parallel_validation
+        # in-place progress line (reference utils/progressbar.py analog):
+        # None = auto (TTY only), never fetches device values
+        self.progress = progress
         self._val_mesh = None
         # preemption handling (reference has none, SURVEY.md §5): a SIGTERM/
         # SIGINT during fit() requests a checkpoint at the next step boundary
@@ -313,6 +317,13 @@ class Trainer:
                 t0, nsteps = time.time(), 0
                 loss_acc = None  # device-side accumulation: no per-step host sync
                 step0 = int(self.state["step"])
+                from graphphysics_tpu.utils.progress import ProgressReporter
+
+                prog = ProgressReporter(
+                    len(train_loader) - offset,
+                    prefix=f"epoch {epoch}",
+                    enable=self.progress,
+                )
                 for batch in train_loader:
                     gb = self._put_batch(batch)
                     self._maybe_profile(step0 + nsteps + 1)
@@ -322,7 +333,13 @@ class Trainer:
                     step = step0 + nsteps  # host-side counter, no device fetch
                     if step % self.log_every == 0:
                         lr = float(self.schedule(step))
-                        self._log(epoch, step, {"train_loss": float(loss), "lr": lr})
+                        host_loss = float(loss)
+                        self._log(epoch, step, {"train_loss": host_loss, "lr": lr})
+                        # loss shown only at log points — it is already on
+                        # the host there; fetching it every step would sync
+                        prog.update(nsteps, loss=host_loss)
+                    else:
+                        prog.update(nsteps)
                     # snapshot once: a signal landing between a
                     # "should I save?" and a "should I stop?" read must not
                     # let fit() return without the checkpoint it claims
@@ -333,6 +350,7 @@ class Trainer:
                     ):
                         self.save(epoch, batch_offset=offset + nsteps)
                     if stop:
+                        prog.close()
                         print(
                             f"[trainer] interrupted at epoch {epoch} "
                             f"batch {offset + nsteps}; checkpoint saved — "
@@ -341,6 +359,7 @@ class Trainer:
                         )
                         history["interrupted"] = True
                         return history
+                prog.close()
                 dt = time.time() - t0
                 train_loss = float(loss_acc) / max(nsteps, 1) if nsteps else 0.0
                 history["train_loss"].append(train_loss)
