@@ -129,7 +129,9 @@ def main():
         "step": jnp.zeros((), jnp.int32),
     }
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state, graph):
         def loss_fn(p):
             (out, tgt, _), mut = sim.apply(
