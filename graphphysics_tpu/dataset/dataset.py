@@ -111,6 +111,7 @@ class BaseDataset(abc.ABC):
         self._bucket_edge_budgets: Optional[List[int]] = None
         self._traj_bucket: Optional[np.ndarray] = None
         self._canonical_sample_cache: Optional[RawSample] = None
+        self._node_counts_cache: Any = False  # False = not scanned yet
         self._padded_any = False  # guards set_edge_layout
         self._epoch = 0
 
@@ -165,6 +166,15 @@ class BaseDataset(abc.ABC):
         exceed the budget mid-training."""
         return None
 
+    def node_counts(self) -> Optional[List[int]]:
+        """``scan_node_counts`` computed once and cached — the counts are
+        immutable for a dataset, and the scan opens every trajectory file
+        (use this, not scan_node_counts, anywhere the result may be needed
+        more than once: budget derivation, bucketing, auto layout)."""
+        if self._node_counts_cache is False:  # sentinel: None is a valid result
+            self._node_counts_cache = self.scan_node_counts()
+        return self._node_counts_cache
+
     @property
     def frames_per_trajectory(self) -> int:
         """Usable frames per trajectory: T-1 (each needs a target), minus one
@@ -194,7 +204,17 @@ class BaseDataset(abc.ABC):
             np.random.SeedSequence([self.seed, self._epoch, index])
         )
         sample, exclude = self._build_sample(index, rng)
-        return self._pad(sample, exclude)
+        if (
+            index == 0
+            and self._epoch == 0
+            and self._canonical_sample_cache is None
+        ):
+            # this IS the canonical sample (same rng derivation): reuse it so
+            # startup doesn't build item 0 twice back-to-back
+            self._canonical_sample_cache = sample
+        graph = self._pad(sample, exclude)
+        self._drop_canonical_if_done()
+        return graph
 
     def _build_sample(self, index: int, rng: np.random.Generator):
         """The pre-padding item pipeline: load -> preprocessing -> k-hop ->
@@ -229,8 +249,40 @@ class BaseDataset(abc.ABC):
             rng = np.random.default_rng(
                 np.random.SeedSequence([self.seed, 0, 0])
             )
-            self._canonical_sample_cache = self._build_sample(0, rng)[0]
+            # pin the dataset epoch too: _load implementations draw their own
+            # per-(seed, epoch, index) randomness (e.g. XDMF multi-dt frame
+            # offsets), and canonical means "as at epoch 0" regardless of
+            # when (mid-training, post-resume) the budgets materialize
+            saved_epoch, self._epoch = self._epoch, 0
+            try:
+                self._canonical_sample_cache = self._build_sample(0, rng)[0]
+            finally:
+                self._epoch = saved_epoch
         return self._canonical_sample_cache
+
+    def _drop_canonical_if_done(self) -> None:
+        """Free the cached canonical RawSample (tens of MB at large-mesh
+        scale, and pickled into every forked worker) once every lazy static
+        budget it can feed has materialized."""
+        if self._canonical_sample_cache is None:
+            return
+        if self.num_buckets > 1:
+            done = (
+                self._bucket_node_budgets is not None
+                and self._bucket_edge_budgets is not None
+            )
+        elif self.edge_layout == "ell":
+            done = self.node_budget is not None and self.ell_degree is not None
+        elif self.edge_layout == "csr":
+            done = (
+                self.node_budget is not None
+                and self.edge_budget is not None
+                and self.csr_max_chunks is not None
+            )
+        else:
+            done = self.node_budget is not None and self.edge_budget is not None
+        if done:
+            self._canonical_sample_cache = None
 
     def trajectory_indices(self, traj_index: int) -> List[int]:
         per = self.frames_per_trajectory
@@ -315,7 +367,7 @@ class BaseDataset(abc.ABC):
             return True
         if self.num_buckets <= 1:
             return False
-        counts = self.scan_node_counts()
+        counts = self.node_counts()
         if not counts or len(set(counts)) == 1:
             self.num_buckets = 1
             return False
@@ -387,7 +439,7 @@ class BaseDataset(abc.ABC):
                 graph = graph.replace(exclude_mask=padded)
             return graph
         if self.node_budget is None:
-            counts = self.scan_node_counts()
+            counts = self.node_counts()
             # no preprocessing step changes the node count, so the max raw
             # trajectory size bounds every future sample; with no scan the
             # CANONICAL sample sizes the budget (deterministic across
@@ -504,9 +556,12 @@ class BaseDataset(abc.ABC):
 
         first_sample = self.ell_degree is None
         if first_sample:
-            dmax = max_in_degree(sample.receivers, self.node_budget)
-            # +4 headroom over the first sample's max in-degree: random edges /
-            # per-frame world edges can push later samples higher
+            # derive from the CANONICAL sample (same reasoning as the edge/
+            # CSR budgets: independent processes must agree on the static
+            # degree) with +4 headroom — random edges / per-frame world
+            # edges can push later samples higher
+            canon = self._canonical_sample()
+            dmax = max_in_degree(canon.receivers, self.node_budget)
             self.ell_degree = max(((dmax + 4 + 3) // 4) * 4, 4)
         try:
             return pad_graph_ell_np(

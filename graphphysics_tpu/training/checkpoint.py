@@ -208,6 +208,40 @@ def load_checkpoint(path: str, template: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def load_checkpoint_with_metadata(path: str, template: Any) -> tuple:
+    """``(state, metadata)`` with ONE disk read/parse for the msgpack
+    backend — ``load_checkpoint`` + ``load_metadata`` would deserialize the
+    full state payload (potentially hundreds of MB of params + optimizer
+    moments) twice. Orbax / torch files fall back to the two-call path
+    (orbax restores state and metadata as separate items anyway)."""
+    wait_for_async_saves()
+    if (
+        _resolve_orbax_dir(path) is not None
+        or not os.path.exists(path)
+        or is_torch_checkpoint(path)
+    ):
+        return load_checkpoint(path, template), load_metadata(path)
+    with open(path, "rb") as f:
+        payload = msgpack_restore(f.read())
+    embedded = payload.pop("__metadata__", None)
+    if embedded is not None:
+        metadata = json.loads(np.asarray(embedded).tobytes().decode())
+    else:
+        meta_path = path + ".meta.json"
+        metadata = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                metadata = json.load(f)
+    treedef = jax.tree_util.tree_structure(template)
+    n = treedef.num_leaves
+    if len(payload) != n:
+        raise ValueError(
+            f"checkpoint has {len(payload)} leaves, template expects {n}"
+        )
+    leaves = [payload[str(i)] for i in range(n)]
+    return jax.tree_util.tree_unflatten(treedef, leaves), metadata
+
+
 def load_metadata(path: str) -> dict:
     wait_for_async_saves()
     orbax_dir = _resolve_orbax_dir(path)

@@ -214,6 +214,14 @@ def _resolve_auto_edge_layout(ds, param, dataset_params) -> None:
     if getattr(ds, "num_buckets", 1) > 1:
         return
     threshold = dataset_params.get("auto_csr_min_nodes", AUTO_CSR_MIN_NODES)
-    counts = ds.scan_node_counts()
+    counts = ds.node_counts()
     if counts and max(counts) >= threshold:
         ds.set_edge_layout("csr")
+        if ds.node_budget is not None:
+            # an explicitly-configured budget may not be aligned to the
+            # kernel's node blocks; padding more is always safe, erroring on
+            # a config that worked under coo is not
+            from graphphysics_tpu.core.graph import round_up
+            from graphphysics_tpu.ops.pallas_attention import BLOCK_NODES
+
+            ds.node_budget = round_up(ds.node_budget, BLOCK_NODES)

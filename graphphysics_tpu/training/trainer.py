@@ -25,8 +25,7 @@ from graphphysics_tpu.core.nodetype import NodeType
 from graphphysics_tpu.training import losses as losses_mod
 from graphphysics_tpu.training.checkpoint import (
     _resolve_orbax_dir,
-    load_checkpoint,
-    load_metadata,
+    load_checkpoint_with_metadata,
     require_backend,
     save_checkpoint,
     wait_for_async_saves,
@@ -295,8 +294,9 @@ class Trainer:
             os.path.exists(resume_from)
             or _resolve_orbax_dir(resume_from) is not None
         ):
-            self.state = load_checkpoint(resume_from, self.state)
-            meta = load_metadata(resume_from)
+            self.state, meta = load_checkpoint_with_metadata(
+                resume_from, self.state
+            )
             start_epoch = int(meta.get("epoch", 0))
             resume_offset = int(meta.get("batch_offset", 0))
             print(
@@ -461,15 +461,19 @@ class Trainer:
 
     _VAL_TRAJ_CACHE_MAX = 4  # stacked [T, N, F] frames are large host arrays
 
-    def _stacked_trajectory(self, val_dataset, traj: int) -> Graph:
-        # cache is per-dataset: validate(val_ds) then predict(test_ds) must
-        # not serve the first dataset's trajectories for the second. The
-        # owner is held by STRONG reference (not id()) so a new dataset
-        # reusing a garbage-collected one's address cannot alias the cache.
-        if val_dataset is not self._val_traj_cache_owner:
+    def _ensure_cache_owner(self, dataset) -> None:
+        """Per-dataset trajectory caches: validate(val_ds) then
+        predict(test_ds) must not serve the first dataset's trajectories for
+        the second. The owner is held by STRONG reference (not id()) so a
+        new dataset reusing a garbage-collected one's address cannot alias
+        the caches."""
+        if dataset is not self._val_traj_cache_owner:
             self._val_traj_cache.clear()
             self._traj_sig_cache.clear()
-            self._val_traj_cache_owner = val_dataset
+            self._val_traj_cache_owner = dataset
+
+    def _stacked_trajectory(self, val_dataset, traj: int) -> Graph:
+        self._ensure_cache_owner(val_dataset)
         if traj not in self._val_traj_cache:
             while len(self._val_traj_cache) >= self._VAL_TRAJ_CACHE_MAX:
                 self._val_traj_cache.pop(next(iter(self._val_traj_cache)))
@@ -532,10 +536,7 @@ class Trainer:
         (dataset, trajectory) — shapes are static for a fixed dataset, and
         rebuilding a full item per trajectory on EVERY validate would double
         the host-side validation I/O for nothing."""
-        if dataset is not self._val_traj_cache_owner:
-            self._val_traj_cache.clear()
-            self._traj_sig_cache.clear()
-            self._val_traj_cache_owner = dataset
+        self._ensure_cache_owner(dataset)
         if traj in self._traj_sig_cache:
             return self._traj_sig_cache[traj]
         idx = dataset.trajectory_indices(traj)

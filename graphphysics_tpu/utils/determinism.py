@@ -46,6 +46,12 @@ def _clone(tree):
 def _compare(tree_a, tree_b) -> List[str]:
     import jax
 
+    # structure first: zipping flattened leaves would silently truncate on
+    # extra/missing leaves and pair the rest against the wrong paths
+    struct_a = jax.tree_util.tree_structure(tree_a)
+    struct_b = jax.tree_util.tree_structure(tree_b)
+    if struct_a != struct_b:
+        return [f"tree structure differs: {struct_a} != {struct_b}"]
     mismatches = []
     a_flat = _leaf_paths(tree_a)
     b_flat = _leaf_paths(tree_b)

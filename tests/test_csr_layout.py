@@ -272,3 +272,22 @@ def test_set_edge_layout_guards(tmp_path):
     ds.set_edge_layout("coo")  # no-op stays allowed
     with pytest.raises(ValueError, match="before the first item"):
         ds.set_edge_layout("csr")
+
+
+def test_auto_layout_aligns_explicit_node_budget(tmp_path):
+    """A config with an explicit (coo-legal) node_budget must keep working
+    when auto resolves to csr: the budget rounds up to whole kernel blocks
+    instead of erroring at the first item."""
+    from graphphysics_tpu.training.parse_parameters import (
+        get_dataset,
+        get_preprocessing,
+    )
+    from tests.fixtures import write_cylinder_h5
+
+    h5_path, meta_path = write_cylinder_h5(str(tmp_path), num_traj=1,
+                                           steps=4, nx=8, ny=6)
+    param = _auto_param(h5_path, meta_path, auto_csr_min_nodes=16)
+    ds = get_dataset(param, get_preprocessing(param), node_budget=100)
+    assert ds.edge_layout == "csr"
+    assert ds.node_budget % BLOCK_NODES == 0 and ds.node_budget >= 100
+    assert ds[0].csr_bounds is not None

@@ -481,3 +481,45 @@ def test_xdmf_dt_features_appended(aneurysm):
     pdt = g1.x[real, -1]
     assert np.all(tdt == tdt[0]) and tdt[0] in (dt, 2 * dt)
     assert np.all(pdt == -dt)
+
+
+def test_canonical_sample_reused_and_released(tmp_path):
+    """Startup must not build item 0 twice (the triggering item IS the
+    canonical sample), and the cached RawSample must be released once every
+    lazy budget has materialized — it pins tens of MB at large-mesh scale
+    and is pickled into every forked worker."""
+    from tests.fixtures import write_cylinder_h5
+    from graphphysics_tpu.dataset.h5_dataset import H5Dataset
+
+    h5_path, meta_path = write_cylinder_h5(str(tmp_path), num_traj=1,
+                                           steps=4, nx=8, ny=6)
+    ds = H5Dataset(h5_path=h5_path, meta_path=meta_path)
+    loads = {"n": 0}
+    orig = ds._load
+
+    def counting_load(index):
+        loads["n"] += 1
+        return orig(index)
+
+    ds._load = counting_load
+    ds[0]
+    assert loads["n"] == 1  # no duplicate canonical build
+    assert ds._canonical_sample_cache is None  # released after budgets
+    assert ds.node_budget is not None and ds.edge_budget is not None
+
+
+def test_canonical_sample_pins_epoch(aneurysm):
+    """The canonical sample is 'item 0 as at epoch 0' even when budgets
+    materialize mid-training: XDMF multi-dt offsets draw from the dataset's
+    CURRENT epoch inside _load, so the builder must pin it."""
+    from graphphysics_tpu.dataset.xdmf_dataset import XDMFDataset
+
+    folder, meta_path = aneurysm
+    ds0 = XDMFDataset(xdmf_folder=folder, meta_path=meta_path, random_next=3)
+    canon0 = ds0._canonical_sample()
+    ds5 = XDMFDataset(xdmf_folder=folder, meta_path=meta_path, random_next=3)
+    ds5.set_epoch(5)
+    canon5 = ds5._canonical_sample()
+    assert ds5._epoch == 5  # epoch restored after the pinned build
+    np.testing.assert_array_equal(canon0.x, canon5.x)
+    assert canon0.target_dt == canon5.target_dt

@@ -116,3 +116,19 @@ def test_mismatch_is_reported():
     report = check_step_determinism(fake_step, {}, {}, runs=2)
     assert not report["deterministic"]
     assert any("b" in m for m in report["mismatches"])
+
+
+def test_structure_mismatch_is_reported():
+    """Extra/missing leaves must be reported as a structure mismatch, not
+    silently zip-truncated into a false 'deterministic' verdict."""
+    calls = [
+        {"w": np.ones((4,), np.float32)},
+        {"w": np.ones((4,), np.float32), "extra": np.zeros((1,), np.float32)},
+    ]
+
+    def fake_step(state, batch):
+        return calls.pop(0)
+
+    report = check_step_determinism(fake_step, {}, {}, runs=2)
+    assert not report["deterministic"]
+    assert any("structure" in m for m in report["mismatches"])

@@ -169,3 +169,48 @@ def test_attention_ell_matches_coo():
     np.testing.assert_allclose(
         np.asarray(y_coo), np.asarray(y_ell), rtol=1e-4, atol=1e-5
     )
+
+
+def test_ell_degree_budget_canonical_across_first_touched_index(tmp_path):
+    """The ELL degree budget must come from the CANONICAL sample, not
+    whichever item a process pads first — same cross-process static-shape
+    contract as the edge/CSR budgets (multi-host compiles must match)."""
+    import json
+
+    from graphphysics_tpu.dataset.dataset import BaseDataset
+    from graphphysics_tpu.dataset.sample import RawSample
+
+    meta = str(tmp_path / "meta.json")
+    with open(meta, "w") as f:
+        json.dump({"trajectory_length": 3}, f)
+
+    class Toy(BaseDataset):
+        @property
+        def size_dataset(self):
+            return 2
+
+        def _load(self, index):
+            n = 12
+            traj = index // self.frames_per_trajectory
+            deg = 4 if traj == 0 else 8  # heterogeneous max in-degree
+            hub_edges = np.stack(
+                [np.zeros(deg, np.int32), np.arange(1, deg + 1, dtype=np.int32)]
+            )
+            s, r = to_undirected(hub_edges[0], hub_edges[1])
+            return RawSample(
+                x=np.ones((n, 1), np.float32),
+                pos=np.zeros((n, 2), np.float32),
+                senders=s,
+                receivers=r,
+                y=np.zeros((n, 1), np.float32),
+                traj_index=traj,
+            )
+
+    ds_a = Toy(meta_path=meta, edge_layout="ell", add_edge_features=False)
+    ds_b = Toy(meta_path=meta, edge_layout="ell", add_edge_features=False)
+    ds_a[0]  # process A pads the low-degree trajectory first
+    ds_b[2]  # process B pads the high-degree trajectory first
+    ds_a[2]
+    ds_b[0]
+    assert ds_a.ell_degree == ds_b.ell_degree
+    assert ds_a[2].senders.shape == ds_b[2].senders.shape

@@ -568,3 +568,44 @@ def test_checkpoint_metadata_embedded_atomically(tmp_path):
     import numpy as np
 
     np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(4.0))
+
+
+def test_load_checkpoint_with_metadata_single_parse(tmp_path):
+    """The combined loader returns (state, metadata) equal to the two-call
+    path — resume should not deserialize the full state payload twice."""
+    import jax.numpy as jnp
+
+    from graphphysics_tpu.training.checkpoint import (
+        load_checkpoint,
+        load_checkpoint_with_metadata,
+        load_metadata,
+        save_checkpoint,
+    )
+
+    state = {"a": jnp.arange(6.0), "b": {"c": jnp.ones((3, 2))}}
+    ckpt = str(tmp_path / "state.msgpack")
+    save_checkpoint(ckpt, state, metadata={"epoch": 7, "batch_offset": 2})
+
+    got_state, got_meta = load_checkpoint_with_metadata(ckpt, state)
+    assert got_meta == load_metadata(ckpt) == {"epoch": 7, "batch_offset": 2}
+    ref_state = load_checkpoint(ckpt, state)
+    np.testing.assert_array_equal(np.asarray(got_state["a"]),
+                                  np.asarray(ref_state["a"]))
+    np.testing.assert_array_equal(np.asarray(got_state["b"]["c"]),
+                                  np.asarray(ref_state["b"]["c"]))
+    # legacy checkpoint without embedded metadata: sidecar fallback
+    import json as _json
+    import os as _os
+
+    from flax.serialization import msgpack_restore, msgpack_serialize
+
+    with open(ckpt, "rb") as f:
+        payload = msgpack_restore(f.read())
+    payload.pop("__metadata__")
+    with open(ckpt, "wb") as f:
+        f.write(msgpack_serialize(payload))
+    _, meta2 = load_checkpoint_with_metadata(ckpt, state)
+    assert meta2 == {"epoch": 7, "batch_offset": 2}  # from .meta.json
+    _os.remove(ckpt + ".meta.json")
+    _, meta3 = load_checkpoint_with_metadata(ckpt, state)
+    assert meta3 == {}
