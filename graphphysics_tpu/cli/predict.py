@@ -24,11 +24,20 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max_trajectories", type=int, default=None)
     p.add_argument("--external_features", default=None,
                    choices=[None, "aneurysm", "bezier"])
+    p.add_argument("--compilation_cache_dir", default=None,
+                   help="persist XLA executables here: repeated predict runs "
+                        "skip the multi-minute rollout-scan compiles")
     return p
 
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.compilation_cache_dir:
+        from graphphysics_tpu.utils.compilation_cache import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache(args.compilation_cache_dir)
     with open(args.training_parameters_path) as fp:
         parameters = json.load(fp)
 

@@ -62,6 +62,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--profile_num_steps", type=int, default=3)
     p.add_argument("--progress", default="auto", choices=["auto", "on", "off"],
                    help="in-place per-epoch progress line (auto: TTY only)")
+    p.add_argument("--compilation_cache_dir", default=None,
+                   help="persist XLA executables here: restarts/resumes skip "
+                        "the multi-minute TPU compiles")
     p.add_argument(
         "--external_features",
         default=None,
@@ -85,6 +88,12 @@ def _extra_features(name):
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.compilation_cache_dir:
+        from graphphysics_tpu.utils.compilation_cache import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache(args.compilation_cache_dir)
     with open(args.training_parameters_path) as fp:
         parameters = json.load(fp)
 
