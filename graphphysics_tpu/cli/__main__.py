@@ -14,6 +14,10 @@ def main(argv=None) -> int:
         from graphphysics_tpu.cli.predict import main as predict_main
 
         return predict_main(argv[1:])
+    if argv and argv[0] == "doctor":
+        from graphphysics_tpu.cli.doctor import main as doctor_main
+
+        return doctor_main(argv[1:])
     if argv and argv[0] == "train":
         argv = argv[1:]
     from graphphysics_tpu.cli.train import main as train_main

@@ -90,3 +90,60 @@ def time_chained_steps(
         state, loss = step_fn(state, batch)
     fetch_sync(loss, state)
     return (time.perf_counter() - t0) / iters, state
+
+
+def chip_probe_tflops(n: int = 4096, depth: int = 4, reps: int = 3) -> float:
+    """The chip's CURRENT effective matmul throughput (TF/s, bf16 inputs)
+    from a chain of dependent n^3 matmuls, fetch-synced (``fetch_sync``).
+    Shared-tenancy chips throttle >20x across hours — probe in the same run
+    as any measurement you intend to normalize."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    key = jax.random.key(0)
+    x = (jax.random.normal(key, (n, n), jnp.float32) / np.sqrt(n)).astype(
+        jnp.bfloat16
+    )
+
+    @jax.jit
+    def chain(y, x):
+        for _ in range(depth):
+            y = y @ x
+        return y
+
+    y = chain(x, x)
+    fetch_sync(y)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        y = chain(y, x)
+        fetch_sync(y)
+        best = min(best, time.perf_counter() - t0)
+    return 2 * n**3 * depth / best / 1e12
+
+
+def chip_probe_gbps(mb: int = 64, depth: int = 4, reps: int = 3) -> float:
+    """The chip's CURRENT effective HBM bandwidth (GB/s) from a chain of
+    dependent saxpys (throttling is NON-uniform: HBM has been observed 24x
+    down while the MXU was only 4x down)."""
+    import jax.numpy as jnp
+
+    n = mb * 1024 * 1024 // 4
+    a = jnp.ones((n,), jnp.float32) * 1.00001
+    b = jnp.ones((n,), jnp.float32) * 0.5
+
+    @jax.jit
+    def chain(a, b):
+        for _ in range(depth):
+            a = a * 0.999 + b * 0.001
+        return a
+
+    a = chain(a, b)
+    fetch_sync(a)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        a = chain(a, b)
+        fetch_sync(a)
+        best = min(best, time.perf_counter() - t0)
+    return 3 * n * 4 * depth / best / 1e9
