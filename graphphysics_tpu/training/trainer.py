@@ -691,6 +691,11 @@ class Trainer:
         mesh = self._validation_mesh(n_traj)
         group = mesh.devices.size if mesh is not None else 1
 
+        from graphphysics_tpu.utils.progress import ProgressReporter
+
+        prog = ProgressReporter(n_traj, prefix=f"validate epoch {epoch}",
+                                enable=self.progress)
+        done = 0
         for idxs in self._traj_chunks(val_dataset, n_traj, group):
             keys = [jax.random.fold_in(base, t) for t in idxs]
             results = None
@@ -713,6 +718,9 @@ class Trainer:
                         self._save_rollout_xdmf(val_dataset, 0, preds, epoch)
                     if self.plot_callback is not None:
                         self.plot_callback(self, val_dataset, epoch, preds)
+            done += len(idxs)
+            prog.update(done)
+        prog.close()
         # epoch-mean val_loss (None for GMM heads, as in the reference)
         self.last_val_loss = vloss_sum / vloss_cnt if vloss_cnt else None
         return float(np.sqrt(total_se / max(total_cnt, 1.0)))
