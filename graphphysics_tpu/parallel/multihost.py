@@ -72,22 +72,6 @@ class MultihostGraphLoader:
         self._epoch = 0
         self._start_batch = 0
         self._bucket_ids_cache = None
-        ids = self._bucket_ids()
-        if ids is not None:
-            gb = per_host_batch * jax.process_count()
-            counts = np.bincount(ids)
-            short = [int(b) for b in np.nonzero(counts)[0] if counts[b] < gb]
-            if short:
-                # a bucket smaller than one global batch can never fill a
-                # full chunk; unlike single-host GraphLoader (which yields a
-                # partial batch), the global batch must give every host an
-                # equal slice — fail fast instead of silently dropping a
-                # mesh-size class from every epoch
-                raise ValueError(
-                    f"size buckets {short} have fewer items than one global "
-                    f"batch ({gb} = per_host_batch x {jax.process_count()} "
-                    "hosts); lower per_host_batch or num_buckets"
-                )
 
     def _bucket_ids(self):
         from graphphysics_tpu.dataset.loader import dataset_bucket_ids
@@ -126,14 +110,23 @@ class MultihostGraphLoader:
 
     def _global_chunks(self):
         """Bucketed schedule: deterministic per-(seed, epoch) list of GLOBAL
-        index chunks (one per global batch, bucket-pure, full-size only) —
-        GraphLoader's own schedule (``compute_batch_chunks``) at global-batch
-        granularity, so it is identical on every host and hosts stay
-        shape-aligned without any communication. Host p takes rows
-        [p*B : (p+1)*B] of each chunk."""
+        index chunks (one per global batch, bucket-pure) — GraphLoader's own
+        schedule (``compute_batch_chunks``) at global-batch granularity, so
+        it is identical on every host and hosts stay shape-aligned without
+        any communication. Host p takes rows [p*B : (p+1)*B] of each chunk.
+        A bucket smaller than one global batch still yields its single
+        partial chunk (every host pads its short slice with masked filler —
+        dropping it would silently exclude an entire mesh-size class)."""
         from graphphysics_tpu.dataset.loader import compute_batch_chunks
 
         gb = self.per_host_batch * jax.process_count()
+
+        def chunks_for_count(count, whole_bucket=False):
+            n = count // gb
+            if whole_bucket and n == 0 and count > 0:
+                return 1
+            return n
+
         return compute_batch_chunks(
             len(self.dataset),
             gb,
@@ -141,8 +134,7 @@ class MultihostGraphLoader:
             epoch=self._epoch,
             shuffle=self.shuffle,
             bucket_ids=self._bucket_ids(),
-            # full-size chunks only: every host must get an equal slice
-            chunks_for_count=lambda count, whole_bucket=False: count // gb,
+            chunks_for_count=chunks_for_count,
         )
 
     def _local_from_chunk(self, chunk: np.ndarray):
@@ -150,7 +142,21 @@ class MultihostGraphLoader:
 
         p = jax.process_index()
         rows = chunk[p * self.per_host_batch : (p + 1) * self.per_host_batch]
-        return stack_graphs([self.dataset[int(i)] for i in rows])
+        graphs = [self.dataset[int(i)] for i in rows]
+        if len(graphs) < self.per_host_batch:
+            # partial global chunk: every host must still ship an equal
+            # static slice, so the shortfall pads with fully-MASKED copies
+            # of a chunk graph (zero loss/grad/normalizer contribution —
+            # same contract as GraphLoader._collate). Hosts whose slice is
+            # empty build the chunk's first item as the shape template;
+            # the chunk is bucket-pure so every host's shapes agree.
+            template = graphs[-1] if graphs else self.dataset[int(chunk[0])]
+            filler = template.replace(
+                node_mask=np.zeros_like(template.node_mask),
+                edge_mask=np.zeros_like(template.edge_mask),
+            )
+            graphs += [filler] * (self.per_host_batch - len(graphs))
+        return stack_graphs(graphs)
 
     def _local_batch(self, idx: np.ndarray, b: int):
         from graphphysics_tpu.core.graph import stack_graphs

@@ -220,8 +220,18 @@ def test_multihost_loader_bucketed_single_process():
         np.asarray(resumed[0].x), np.asarray(batches[3].x)
     )
 
-    # a bucket smaller than one global batch fails fast at construction
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="fewer items than one global"):
-        MultihostGraphLoader(ds, per_host_batch=32, mesh=mesh)
+    # a bucket smaller than one global batch yields its single partial
+    # chunk, padded to the full global batch with fully-masked filler —
+    # same contract as GraphLoader (no mesh-size class silently dropped)
+    big = MultihostGraphLoader(ds, per_host_batch=32, mesh=mesh,
+                               shuffle=False)
+    assert len(big) == 2  # one partial chunk per bucket
+    big_batches = list(big)
+    assert sorted(b.x.shape for b in big_batches) == [(32, 32, 4),
+                                                      (32, 64, 4)]
+    for b in big_batches:
+        valid = np.asarray(b.node_mask).sum(axis=1)
+        n_real = int((valid > 0).sum())
+        assert n_real in (16, 20)  # every real item of the bucket present
+        assert (valid[n_real:] == 0).all()  # filler fully masked
+        assert np.asarray(b.edge_mask)[n_real:].sum() == 0
