@@ -2,6 +2,7 @@ from graphphysics_tpu.parallel.mesh import (
     DATA_AXIS,
     GRAPH_AXIS,
     batch_sharding,
+    make_hybrid_mesh,
     make_mesh,
     replicated,
     shard_batch,
@@ -42,6 +43,7 @@ __all__ = [
     "unpartition_rows",
     "DATA_AXIS",
     "GRAPH_AXIS",
+    "make_hybrid_mesh",
     "make_mesh",
     "batch_sharding",
     "replicated",

@@ -41,6 +41,66 @@ def make_mesh(
     return Mesh(arr, tuple(axis_names))
 
 
+def make_hybrid_mesh(
+    axis_names: Sequence[str] = (DATA_AXIS, GRAPH_AXIS),
+    dcn_shape: Optional[Sequence[int]] = None,
+    ici_shape: Optional[Sequence[int]] = None,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Multi-slice mesh: per-axis sizes factor into a DCN part (across TPU
+    slices / pods) and an ICI part (within a slice), so the cheap-bandwidth
+    axes can be pinned to ICI. The intended production layout is
+    ``data`` split across slices over DCN (one gradient ``psum`` per step)
+    while the per-layer ``graph``-axis halo/all_gather collectives stay
+    entirely on ICI — the layout recipe of the scaling playbook.
+
+    ``dcn_shape[i] * ici_shape[i]`` is axis ``i``'s total size; axes with
+    ``dcn_shape[i] == 1`` never cross a slice boundary. On real multi-slice
+    TPU this uses ``mesh_utils.create_hybrid_device_mesh`` (device
+    ``slice_index`` attributes); on hosts without slice metadata (CPU
+    simulation, single slice) slices are emulated as contiguous
+    equal-sized device groups, preserving the same outer=DCN/inner=ICI
+    nesting so sharding layouts and tests carry over unchanged.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    if dcn_shape is None:
+        dcn_shape = (1,) * len(axis_names)
+    if ici_shape is None:
+        ici_shape = (len(devices) // int(np.prod(dcn_shape)),) + (1,) * (
+            len(axis_names) - 1
+        )
+    if len(dcn_shape) != len(axis_names) or len(ici_shape) != len(axis_names):
+        raise ValueError("dcn_shape/ici_shape must match axis_names length")
+    total = int(np.prod(dcn_shape)) * int(np.prod(ici_shape))
+    if total != len(devices):
+        raise ValueError(
+            f"make_hybrid_mesh: prod(dcn)*prod(ici)={total} != "
+            f"{len(devices)} devices"
+        )
+    mesh_shape = tuple(int(d * i) for d, i in zip(dcn_shape, ici_shape))
+
+    if any(getattr(d, "slice_index", None) is not None for d in devices):
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            tuple(int(i) for i in ici_shape),
+            tuple(int(d) for d in dcn_shape),
+            devices=devices,
+        )
+        return Mesh(arr, tuple(axis_names))
+
+    # Emulated slices: contiguous device-id groups. Build the nested
+    # [dcn..., ici...] grid then interleave to [dcn0*ici0, dcn1*ici1, ...]
+    # with the DCN factor outermost in every axis.
+    arr = np.array(devices).reshape(tuple(dcn_shape) + tuple(ici_shape))
+    k = len(axis_names)
+    order = [x for pair in zip(range(k), range(k, 2 * k)) for x in pair]
+    arr = arr.transpose(order).reshape(mesh_shape)
+    return Mesh(arr, tuple(axis_names))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     """Shard a stacked batch pytree (leaves ``[B, ...]``) along its leading
     axis."""

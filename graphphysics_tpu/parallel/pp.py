@@ -78,8 +78,10 @@ def make_pp_train_step(
 
     ``sim.model`` must be an ``EncodeProcessDecode`` or
     ``EncodeTransformDecode`` with ``scan_blocks=True`` and with
-    ``message_passing_num`` divisible by the pipe-axis size and a plain MLP
-    decoder (``num_mixture_components == 0``); ``microbatches`` is a stacked
+    ``message_passing_num`` divisible by the pipe-axis size; the decoder may
+    be the plain MLP or a GMM head (diagonal or full-covariance, trained
+    with the matching NLL like the single-device step); ``microbatches`` is
+    a stacked
     Graph pytree (leaves ``[M, ...]``, ``core.graph.stack_graphs``) resident
     replicated. Semantics identical to the single-device step on the
     concatenation of the M microbatches (masked global mean loss, one
@@ -88,6 +90,7 @@ def make_pp_train_step(
     from graphphysics_tpu.models.processors import (
         EncodeProcessDecode,
         EncodeTransformDecode,
+        _decoder,
     )
 
     model = sim.model
@@ -99,8 +102,6 @@ def make_pp_train_step(
             "make_pp_train_step needs scan_blocks=True (stacked [L] block "
             "params — the layer axis is the pipe shard axis)"
         )
-    if model.num_mixture_components != 0:
-        raise NotImplementedError("pp: GMM decoder not supported yet")
     if model.only_processor:
         raise NotImplementedError("pp: only_processor models not supported")
     if model.remat:
@@ -121,10 +122,21 @@ def make_pp_train_step(
         raise ValueError("pp: EPD requires edge features (edge_input_size > 0)")
     h = model.hidden_size
     dtype = model.dtype
-    local_loss = _make_local_loss(masks, "l2", None)
+    K = model.num_mixture_components
+    if K == 0:
+        local_loss = _make_local_loss(masks, "l2", None)
+    else:
+        t = model.temperature
+        local_loss = _make_local_loss(
+            masks,
+            "diag_gmm" if model.use_diagonal else "full_gmm",
+            dict(d=cfg.output_size, K=K, temperature=1.0 if t is None else t),
+        )
     node_enc = MLP(h, h, dtype=dtype)
     edge_enc = None if is_transformer else MLP(h, h, dtype=dtype)
-    decoder = MLP(h, cfg.output_size, layer_norm=False, dtype=dtype)
+    decoder = _decoder(
+        h, cfg.output_size, K, model.use_diagonal, dtype, name="decode_module"
+    )
     if is_transformer:
         block = TransformerBlock(
             output_dim=h,

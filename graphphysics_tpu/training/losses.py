@@ -60,6 +60,8 @@ def make_local_loss(masks: Sequence[int], loss_kind: str, gmm_kwargs=None):
             per_row = jnp.mean((out - target) ** 2, axis=-1)
         elif loss_kind == "diag_gmm":
             per_row = diagonal_gmm_nll_per_row(target, out, **gmm_kwargs)
+        elif loss_kind == "full_gmm":
+            per_row = gmm_nll_per_row(target, out, **gmm_kwargs)
         else:
             raise ValueError(loss_kind)
         w = mask.astype(per_row.dtype)
@@ -161,6 +163,19 @@ def gmm_nll_loss(
     """Full-covariance GMM NLL via lower-triangular solve (reference
     ``loss.py:202-327``)."""
     mask = node_type_mask(node_type, masks, node_valid, exclude_mask)
+    nll = gmm_nll_per_row(target, network_output, d, K, temperature)
+    return _masked_row_mean(nll, mask)
+
+
+def gmm_nll_per_row(
+    target: jax.Array,
+    network_output: jax.Array,
+    d: int,
+    K: int,
+    temperature: float = 1.0,
+) -> jax.Array:
+    """Per-node full-covariance GMM NLL ([N]) — the shared core of the
+    masked loss above and the sharded/microbatched local losses."""
     n = network_output.shape[0]
     l_len = (d * (d + 1)) // 2
     per_comp = 1 + d + l_len
@@ -189,4 +204,4 @@ def gmm_nll_loss(
     logpdf = -0.5 * (d * jnp.log(_TWO_PI) + logdet + maha)
     log_mixture = jnp.log(alpha + 1e-12) + logpdf
     log_prob_x = jax.scipy.special.logsumexp(log_mixture, axis=-1)
-    return _masked_row_mean(-log_prob_x, mask)
+    return -log_prob_x

@@ -67,6 +67,10 @@ def get_model(param: Dict[str, Any], only_processor: bool = False) -> nn.Module:
     node_input_size = param["model"]["node_input_size"] + NodeType.SIZE
     num_mixture_components = param["model"].get("num_mixture_components", 0)
     temperature = param["model"].get("temperature")
+    # TPU extension: "use_diagonal": false trains a FULL-covariance GMM head
+    # with the full NLL (the reference implements both heads and both losses,
+    # layers.py:116-195 / loss.py:202-327, but only ever wires the diagonal)
+    use_diagonal = bool(param["model"].get("use_diagonal", True))
     # TPU extension: "precision": "bf16" runs the matmul-heavy compute path
     # in bfloat16 (params/outputs stay f32)
     precision = param["model"].get("precision", "f32")
@@ -88,6 +92,7 @@ def get_model(param: Dict[str, Any], only_processor: bool = False) -> nn.Module:
             only_processor=only_processor,
             num_mixture_components=num_mixture_components,
             temperature=temperature,
+            use_diagonal=use_diagonal,
             dtype=dtype,
             remat=remat,
             scan_blocks=scan_blocks,
@@ -102,6 +107,7 @@ def get_model(param: Dict[str, Any], only_processor: bool = False) -> nn.Module:
             only_processor=only_processor,
             num_mixture_components=num_mixture_components,
             temperature=temperature,
+            use_diagonal=use_diagonal,
             dtype=dtype,
             remat=remat,
             scan_blocks=scan_blocks,

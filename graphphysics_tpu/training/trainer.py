@@ -132,6 +132,9 @@ class Trainer:
         self.d = self.sim.model.d
         t = self.sim.model.temperature
         self.temperature = 1.0 if t is None else t  # 0.0 is valid
+        # "use_diagonal": false in the model config -> full-covariance GMM
+        # head trained with the full NLL (losses.gmm_nll_loss)
+        self.use_diagonal = bool(getattr(self.sim.model, "use_diagonal", True))
 
         self.state: Optional[Dict[str, Any]] = None
         self.tx = None
@@ -149,7 +152,12 @@ class Trainer:
                 target, out, node_type, self.masks,
                 node_valid=node_valid, exclude_mask=exclude_mask,
             )
-        return losses_mod.diagonal_gmm_nll_loss(
+        loss = (
+            losses_mod.diagonal_gmm_nll_loss
+            if self.use_diagonal
+            else losses_mod.gmm_nll_loss
+        )
+        return loss(
             target, out, node_type, self.masks,
             d=self.d, K=self.K, temperature=self.temperature,
             node_valid=node_valid, exclude_mask=exclude_mask,
@@ -230,7 +238,9 @@ class Trainer:
             make_microbatch_train_step,
         )
 
-        loss_kind = "l2" if self.K == 0 else "diag_gmm"
+        loss_kind = "l2" if self.K == 0 else (
+            "diag_gmm" if self.use_diagonal else "full_gmm"
+        )
         gmm_kwargs = (
             None
             if self.K == 0
@@ -251,7 +261,9 @@ class Trainer:
         from graphphysics_tpu.parallel import make_dp_train_step, make_mesh
 
         self.mesh = make_mesh(self.num_devices)
-        loss_kind = "l2" if self.K == 0 else "diag_gmm"
+        loss_kind = "l2" if self.K == 0 else (
+            "diag_gmm" if self.use_diagonal else "full_gmm"
+        )
         gmm_kwargs = (
             None
             if self.K == 0

@@ -321,6 +321,35 @@ def test_fit_gmm_head(cylinder_env):
     assert np.isfinite(history["val_rmse"][0])
 
 
+def test_fit_full_cov_gmm_head(cylinder_env):
+    """TPU extension: "use_diagonal": false trains a FULL-covariance GMM
+    head with the full NLL (the reference implements both heads/losses but
+    only wires the diagonal) — loss path + Cholesky-sampled rollout."""
+    tmp, param = cylinder_env
+    param_gmm = json.loads(json.dumps(param))
+    param_gmm["model"]["num_mixture_components"] = 2
+    param_gmm["model"]["temperature"] = 1.0
+    param_gmm["model"]["use_diagonal"] = False
+    train_pre = get_preprocessing(param_gmm)
+    val_pre = get_preprocessing(param_gmm, remove_noise=True)
+    train_ds = get_dataset(param_gmm, train_pre)
+    val_ds = get_dataset(param_gmm, val_pre, switch_to_val=True)
+    loader = GraphLoader(train_ds, batch_size=2, shuffle=True, prefetch=0)
+    trainer = Trainer(
+        param_gmm, learning_rate=1e-3, warmup=2,
+        checkpoint_dir=str(tmp / "ckpt_gmm_full"), metrics_path=None,
+        rollout_dir=None, log_every=5,
+    )
+    assert trainer.use_diagonal is False
+    # head emits per-component 1 + d + d(d+1)/2 params (reference GMMHead,
+    # layers.py:137-147)
+    d = param_gmm["model"]["output_size"]
+    assert trainer.sim.model.K * (1 + d + d * (d + 1) // 2) > 0
+    history = trainer.fit(loader, val_dataset=val_ds, num_epochs=1)
+    assert np.isfinite(history["train_loss"][0])
+    assert np.isfinite(history["val_rmse"][0])
+
+
 @pytest.mark.parametrize("backend", ["orbax", "orbax-async"])
 def test_orbax_checkpoint_backend_roundtrip(cylinder_env, tmp_path, backend):
     """Directory-based orbax checkpoints: fit + resume metadata + state
