@@ -48,6 +48,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="one optimizer step per batch of batch_size "
                         "sequential microbatches (activation memory of one "
                         "microbatch; exact big-batch semantics)")
+    p.add_argument("--graph_partition", type=int, default=0,
+                   help="edge-partition every batch graph into P contiguous "
+                        "node blocks across a graph mesh axis (per-layer "
+                        "exchange rides ICI); combine with --data_parallel "
+                        "for the 2-D (data x graph) pod layout")
+    p.add_argument("--partition_mode", default="halo",
+                   choices=["halo", "gather"],
+                   help="per-layer exchange: all_to_all of boundary rows "
+                        "(halo) or full-table all_gather")
     p.add_argument("--save_every_n_steps", type=int, default=None,
                    help="also checkpoint mid-epoch every N steps (preemption "
                         "safety; SIGTERM/SIGINT always checkpoint before exit)")
@@ -195,6 +204,8 @@ def main(argv=None) -> int:
         parameters,
         data_parallel=args.data_parallel,
         gradient_accumulation=args.gradient_accumulation,
+        graph_partition=args.graph_partition,
+        partition_mode=args.partition_mode,
         learning_rate=args.init_lr,
         warmup=args.warmup,
         checkpoint_dir=args.checkpoint_dir,

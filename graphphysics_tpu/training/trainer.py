@@ -58,6 +58,9 @@ class Trainer:
         plot_callback=None,
         data_parallel: bool = False,
         gradient_accumulation: bool = False,
+        graph_partition: int = 0,
+        partition_mode: str = "halo",
+        partition_edge_headroom: float = 1.25,
         num_devices: Optional[int] = None,
         save_every_n_steps: Optional[int] = None,
         checkpoint_backend: str = "msgpack",
@@ -95,6 +98,30 @@ class Trainer:
                 "layouts; combine them by raising the per-device batch "
                 "instead (see docs/scaling.md)"
             )
+        # edge-partitioned training (parallel/graph_partition.py): every
+        # batch graph splits into `graph_partition` contiguous node blocks
+        # host-side; the per-layer exchange ("halo" all_to_all of boundary
+        # rows, or "gather" full-table all_gather) rides the graph mesh
+        # axis. Combines with data_parallel into the 2-D (data x graph)
+        # pod-scale step. Validation rollouts stay unpartitioned: an eval
+        # forward holds no autodiff activations, so meshes that need
+        # partitioned TRAINING still validate on one chip (for even larger
+        # meshes use parallel.dp.partitioned_rollout directly).
+        self.graph_partition = int(graph_partition)
+        if partition_mode not in ("halo", "gather"):
+            raise ValueError(f"unknown partition_mode {partition_mode!r}")
+        self.partition_mode = partition_mode
+        self.partition_edge_headroom = float(partition_edge_headroom)
+        if self.graph_partition and gradient_accumulation:
+            raise ValueError(
+                "graph_partition does not combine with gradient_accumulation "
+                "(partition the graph OR microbatch the batch; both at once "
+                "would need a [M, P, ...] layout nothing produces)"
+            )
+        # static per-part budgets, derived once from the first batch (a
+        # canonical trial partition x headroom) so every step compiles to
+        # the same shapes
+        self._part_budgets = None
         self.num_devices = num_devices
         self.save_every_n_steps = save_every_n_steps
         # "msgpack" (one portable file) | "orbax" | "orbax-async" (periodic
@@ -189,7 +216,9 @@ class Trainer:
             "opt_state": self.tx.init(variables["params"]),
             "step": jnp.zeros((), jnp.int32),
         }
-        if self.data_parallel:
+        if self.graph_partition:
+            self._build_graph_partition_train_step()
+        elif self.data_parallel:
             self._build_dp_train_step()
         elif self.gradient_accumulation:
             self._build_microbatch_train_step()
@@ -278,7 +307,121 @@ class Trainer:
             gmm_kwargs=gmm_kwargs,
         )
 
+    def _build_graph_partition_train_step(self):
+        """Edge-partitioned step over a (graph,) mesh, or the 2-D
+        (data x graph) step when combined with data_parallel; batches are
+        partitioned host-side in ``_put_batch``."""
+        from graphphysics_tpu.parallel import (
+            make_dp_graph_parallel_train_step,
+            make_graph_parallel_train_step,
+            make_mesh,
+        )
+        from graphphysics_tpu.parallel.mesh import DATA_AXIS, GRAPH_AXIS
+
+        parts = self.graph_partition
+        loss_kind = "l2" if self.K == 0 else (
+            "diag_gmm" if self.use_diagonal else "full_gmm"
+        )
+        gmm_kwargs = (
+            None
+            if self.K == 0
+            else dict(d=self.d, K=self.K, temperature=self.temperature)
+        )
+        if self.data_parallel:
+            total = self.num_devices or len(jax.devices())
+            if total % parts:
+                raise ValueError(
+                    f"graph_partition {parts} must divide the device count "
+                    f"{total} (data axis = devices / partitions)"
+                )
+            self.mesh = make_mesh(
+                total, (DATA_AXIS, GRAPH_AXIS), shape=(total // parts, parts)
+            )
+            self._train_step = make_dp_graph_parallel_train_step(
+                self.sim, self.tx, self.masks, self.mesh,
+                loss_kind=loss_kind, gmm_kwargs=gmm_kwargs,
+            )
+        else:
+            self.mesh = make_mesh(parts, (GRAPH_AXIS,))
+            self._train_step = make_graph_parallel_train_step(
+                self.sim, self.tx, self.masks, self.mesh,
+                loss_kind=loss_kind, gmm_kwargs=gmm_kwargs,
+            )
+
+    def _partition_graph(self, g: Graph) -> Graph:
+        """Partition one (numpy, unpartitioned) Graph with the cached static
+        budgets; first call derives them: canonical trial x headroom."""
+        from graphphysics_tpu.core.graph import round_up
+        from graphphysics_tpu.parallel.graph_partition import (
+            partition_graph_halo_np,
+            partition_graph_np,
+        )
+
+        parts = self.graph_partition
+        halo = self.partition_mode == "halo"
+        if g.csr_bounds is not None:
+            raise ValueError(
+                "graph_partition expects edge_layout='coo' batches; the "
+                "partitioned model runs the COO attention path (set the "
+                "dataset's edge_layout to 'coo', not 'csr'/'auto')"
+            )
+        if self._part_budgets is None:
+            trial = (
+                partition_graph_halo_np(g, parts)
+                if halo
+                else partition_graph_np(g, parts)
+            )
+            h = self.partition_edge_headroom
+            eb = round_up(int(trial.senders.shape[1] * h), 128)
+            hb = (
+                round_up(int(trial.halo_send_idx.shape[2] * h), 8)
+                if halo
+                else None
+            )
+            self._part_budgets = (eb, hb)
+        eb, hb = self._part_budgets
+        try:
+            if halo:
+                return partition_graph_halo_np(
+                    g, parts, edge_budget_local=eb, halo_budget=hb
+                )
+            return partition_graph_np(g, parts, edge_budget_local=eb)
+        except ValueError as e:
+            raise ValueError(
+                f"graph partitioning exceeded the static budgets derived "
+                f"from the first batch (edge {eb}, halo {hb}); raise "
+                f"Trainer(partition_edge_headroom=...) above "
+                f"{self.partition_edge_headroom}: {e}"
+            ) from e
+
+    def _put_partitioned_batch(self, batch: Graph):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from graphphysics_tpu.parallel.mesh import DATA_AXIS, GRAPH_AXIS
+
+        if self.data_parallel:
+            # stacked [B, ...] loader batch -> [B, P, ...] on (data, graph)
+            lead = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            parts = [
+                self._partition_graph(
+                    jax.tree_util.tree_map(lambda a: np.asarray(a)[b], batch)
+                )
+                for b in range(lead)
+            ]
+            stacked = stack_graphs(parts)
+            sharding = NamedSharding(self.mesh, P(DATA_AXIS, GRAPH_AXIS))
+        else:
+            stacked = self._partition_graph(
+                jax.tree_util.tree_map(np.asarray, batch)
+            )
+            sharding = NamedSharding(self.mesh, P(GRAPH_AXIS))
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sharding), stacked
+        )
+
     def _put_batch(self, batch: Graph):
+        if self.graph_partition:
+            return self._put_partitioned_batch(batch)
         if self.data_parallel:
             from graphphysics_tpu.parallel import shard_batch
 
@@ -499,7 +642,9 @@ class Trainer:
         data-axis mesh over the local devices once."""
         if not self.parallel_validation or n_traj <= 1:
             return None
-        mesh = self.mesh
+        # the graph-partition training mesh axes mean "parts of one graph",
+        # not trajectories — validation builds its own data-axis mesh
+        mesh = self.mesh if not self.graph_partition else None
         if mesh is None:
             if len(jax.devices()) <= 1:
                 return None

@@ -199,6 +199,59 @@ def test_fit_data_parallel_on_mesh(cylinder_env):
     assert all(np.isfinite(v) for v in history["val_rmse"])
 
 
+def test_fit_graph_partition_matches_single_device(cylinder_env):
+    """Trainer(graph_partition=4): every concat batch splits into 4 node
+    blocks over a (graph,) mesh with per-layer halo exchange — losses must
+    match the plain single-device trainer on the same batch stream."""
+    tmp, param = cylinder_env
+
+    def history_for(**kw):
+        train_pre = get_preprocessing(param)
+        val_pre = get_preprocessing(param, remove_noise=True)
+        train_ds = get_dataset(param, train_pre)
+        val_ds = get_dataset(param, val_pre, switch_to_val=True)
+        loader = GraphLoader(train_ds, batch_size=2, shuffle=True, prefetch=0)
+        trainer = Trainer(
+            param, learning_rate=1e-3, warmup=2,
+            checkpoint_dir=str(tmp / "ckpt_gp"), metrics_path=None,
+            rollout_dir=None, log_every=5, **kw,
+        )
+        return trainer.fit(loader, val_dataset=val_ds, num_epochs=2), trainer
+
+    ref_hist, _ = history_for()
+    for mode in ("halo", "gather"):
+        hist, trainer = history_for(graph_partition=4, partition_mode=mode)
+        assert trainer.mesh.axis_names == ("graph",)
+        assert trainer._part_budgets is not None  # derived once, then static
+        np.testing.assert_allclose(
+            hist["train_loss"], ref_hist["train_loss"], rtol=5e-3,
+            err_msg=mode,
+        )
+        assert all(np.isfinite(v) for v in hist["val_rmse"])
+
+
+def test_fit_dp_graph_partition_2d(cylinder_env):
+    """Trainer(data_parallel + graph_partition=2): the 2-D (data x graph)
+    step from the stacked loader batch."""
+    tmp, param = cylinder_env
+    train_pre = get_preprocessing(param)
+    train_ds = get_dataset(param, train_pre)
+    loader = GraphLoader(
+        train_ds, batch_size=4, shuffle=True, prefetch=0, collate="stack"
+    )
+    trainer = Trainer(
+        param, learning_rate=1e-3, warmup=2, data_parallel=True,
+        graph_partition=2, num_devices=8,
+        checkpoint_dir=str(tmp / "ckpt_gp2d"), metrics_path=None,
+        rollout_dir=None, log_every=5,
+    )
+    history = trainer.fit(loader, num_epochs=2)
+    assert trainer.mesh.devices.shape == (4, 2)
+    assert len(history["train_loss"]) == 2
+    assert all(np.isfinite(v) for v in history["train_loss"])
+    assert history["train_loss"][-1] < history["train_loss"][0]
+
+
 class _SignalAfter:
     """Loader wrapper: raises SIGTERM in-process just before yielding batch
     ``after-1`` — the trainer consumes that batch, then its signal handler
