@@ -36,13 +36,23 @@ def chip_probe_tflops():
     y = x
     y, p = chain(y, x)
     float(p)  # warmup/compile, fetch-synced
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        y, p = chain(y, x)
-        float(p)
-        best = min(best, time.perf_counter() - t0)
+    best = _timed_best(lambda: chain(y, x)[1], reps=5, budget_s=20.0)
     return 2 * n**3 * depth / best / 1e12
+
+
+def _timed_best(run, reps: int, budget_s: float) -> float:
+    """min-of-reps fetch-synced timing, stopping early once ``budget_s`` is
+    spent — in extreme throttle windows (~500x observed) fixed rep counts
+    would blow the driver's bench timeout before printing anything."""
+    best = float("inf")
+    start = time.perf_counter()
+    for i in range(reps):
+        t0 = time.perf_counter()
+        float(run())
+        best = min(best, time.perf_counter() - t0)
+        if i >= 1 and time.perf_counter() - start > budget_s:
+            break
+    return best
 
 
 def chip_probe_gbps():
@@ -65,12 +75,7 @@ def chip_probe_gbps():
 
     a, p = chain(a, b)
     float(p)
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        a, p = chain(a, b)
-        float(p)
-        best = min(best, time.perf_counter() - t0)
+    best = _timed_best(lambda: chain(a, b)[1], reps=5, budget_s=15.0)
     # per saxpy: read a, read b, write a
     return 3 * n * 4 * depth / best / 1e9
 
@@ -79,6 +84,15 @@ def main():
     import jax
     import jax.numpy as jnp
     import optax
+
+    try:  # persistent XLA cache: repeat runs skip the 20-60s+ compiles
+        from graphphysics_tpu.utils.compilation_cache import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache(".jax_compilation_cache")
+    except Exception:
+        pass
 
     from graphphysics_tpu.core.graph import pad_graph_np
     from graphphysics_tpu.core.nodetype import NodeType
@@ -178,12 +192,16 @@ def main():
     iters = max(5, min(50, int(3.0 / max(est, 1e-6))))
     reps = 7 if iters >= 50 else 3
     times = []
-    for _ in range(reps):
+    bench_start = time.perf_counter()
+    for i in range(reps):
         t0 = time.perf_counter()
         for _ in range(iters):
             state, probe = step(state, graph)
         float(probe)
         times.append(time.perf_counter() - t0)
+        # deadline guard for extreme windows: one chain is a valid reading
+        if i >= 0 and time.perf_counter() - bench_start > 60.0:
+            break
     dt = min(times)
 
     total_edges = batch * e * iters

@@ -57,6 +57,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["halo", "gather"],
                    help="per-layer exchange: all_to_all of boundary rows "
                         "(halo) or full-table all_gather")
+    p.add_argument("--partitioned_validation", action="store_true",
+                   help="also run validation rollouts edge-partitioned over "
+                        "the graph mesh (for meshes whose eval forward "
+                        "doesn't fit one chip)")
     p.add_argument("--save_every_n_steps", type=int, default=None,
                    help="also checkpoint mid-epoch every N steps (preemption "
                         "safety; SIGTERM/SIGINT always checkpoint before exit)")
@@ -206,6 +210,7 @@ def main(argv=None) -> int:
         gradient_accumulation=args.gradient_accumulation,
         graph_partition=args.graph_partition,
         partition_mode=args.partition_mode,
+        partitioned_validation=args.partitioned_validation,
         learning_rate=args.init_lr,
         warmup=args.warmup,
         checkpoint_dir=args.checkpoint_dir,

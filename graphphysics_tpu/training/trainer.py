@@ -61,6 +61,7 @@ class Trainer:
         graph_partition: int = 0,
         partition_mode: str = "halo",
         partition_edge_headroom: float = 1.25,
+        partitioned_validation: bool = False,
         num_devices: Optional[int] = None,
         save_every_n_steps: Optional[int] = None,
         checkpoint_backend: str = "msgpack",
@@ -103,10 +104,10 @@ class Trainer:
         # host-side; the per-layer exchange ("halo" all_to_all of boundary
         # rows, or "gather" full-table all_gather) rides the graph mesh
         # axis. Combines with data_parallel into the 2-D (data x graph)
-        # pod-scale step. Validation rollouts stay unpartitioned: an eval
-        # forward holds no autodiff activations, so meshes that need
-        # partitioned TRAINING still validate on one chip (for even larger
-        # meshes use parallel.dp.partitioned_rollout directly).
+        # pod-scale step. Validation rollouts default to unpartitioned: an
+        # eval forward holds no autodiff activations, so meshes that need
+        # partitioned TRAINING usually still validate on one chip
+        # (partitioned_validation=True covers the rest).
         self.graph_partition = int(graph_partition)
         if partition_mode not in ("halo", "gather"):
             raise ValueError(f"unknown partition_mode {partition_mode!r}")
@@ -122,6 +123,13 @@ class Trainer:
         # canonical trial partition x headroom) so every step compiles to
         # the same shapes
         self._part_budgets = None
+        # partitioned_validation=True runs validation rollouts edge-
+        # partitioned over the training graph mesh too (for meshes whose
+        # EVAL forward doesn't fit one chip); trajectories go sequentially,
+        # one rollout spread across the graph axis per trajectory
+        self.partitioned_validation = bool(partitioned_validation)
+        if self.partitioned_validation and not self.graph_partition:
+            raise ValueError("partitioned_validation requires graph_partition")
         self.num_devices = num_devices
         self.save_every_n_steps = save_every_n_steps
         # "msgpack" (one portable file) | "orbax" | "orbax-async" (periodic
@@ -803,6 +811,48 @@ class Trainer:
             for traj, (x0, nm, p, t) in zip(idxs, chunk)
         ]
 
+    def _rollout_trajectory_partitioned(
+        self, variables, val_dataset, traj, key, fetch_preds=None
+    ):
+        """One trajectory's rollout spread edge-partitioned over the graph
+        mesh axis (``parallel.dp.partitioned_rollout``) — for meshes whose
+        eval forward doesn't fit a single chip. Per-part budgets are the max
+        over the trajectory's frames, so one compile serves all its steps."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from graphphysics_tpu.parallel.dp import partitioned_rollout
+        from graphphysics_tpu.parallel.graph_partition import (
+            partition_frames_np,
+        )
+        from graphphysics_tpu.parallel.mesh import GRAPH_AXIS
+
+        stacked = self._stacked_trajectory(val_dataset, traj)
+        leaves = jax.tree_util.tree_leaves(stacked)
+        frames = [
+            jax.tree_util.tree_map(lambda a, t=t: np.asarray(a)[t], stacked)
+            for t in range(leaves[0].shape[0])
+        ]
+        parts = partition_frames_np(
+            frames, self.graph_partition, halo=self.partition_mode == "halo"
+        )
+        spec = P(None, GRAPH_AXIS)
+        sharding = NamedSharding(self.mesh, spec)
+        parts = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sharding), parts
+        )
+        preds, targets = partitioned_rollout(
+            self.sim, variables, parts, self.mesh, key,
+            use_previous_data=self.use_previous_data,
+            previous_data_start=self.previous_data_start,
+            previous_data_end=self.previous_data_end,
+        )
+        return self._traj_stats(
+            jnp.asarray(np.asarray(stacked.x)[0]),
+            jnp.asarray(np.asarray(stacked.node_mask)[0]),
+            preds, targets,
+            fetch_preds=(traj == 0) if fetch_preds is None else fetch_preds,
+        )
+
     def _rollout_trajectory(self, variables, val_dataset, traj, key):
         frames = jax.device_put(self._stacked_trajectory(val_dataset, traj))
         preds, targets = jitted_rollout(
@@ -845,8 +895,14 @@ class Trainer:
         # stream (GMM eval draws) is identical whatever the chunking — the
         # parallel and sequential paths agree even for stochastic heads
         base = jax.random.key(self.seed + epoch)
-        mesh = self._validation_mesh(n_traj)
+        part_val = bool(self.graph_partition and self.partitioned_validation)
+        mesh = None if part_val else self._validation_mesh(n_traj)
         group = mesh.devices.size if mesh is not None else 1
+        roll_one = (
+            self._rollout_trajectory_partitioned
+            if part_val
+            else self._rollout_trajectory
+        )
 
         from graphphysics_tpu.utils.progress import ProgressReporter
 
@@ -862,7 +918,7 @@ class Trainer:
                 )
             if results is None:
                 results = [
-                    self._rollout_trajectory(variables, val_dataset, t, k)
+                    roll_one(variables, val_dataset, t, k)
                     for t, k in zip(idxs, keys)
                 ]
             for t, (rmse, cnt, vs, vc, preds) in zip(idxs, results):
@@ -933,7 +989,8 @@ class Trainer:
         base = jax.random.key(self.seed)
         out: Dict[int, np.ndarray] = {}
         os.makedirs(save_dir, exist_ok=True)
-        mesh = self._validation_mesh(n_traj)
+        part_val = bool(self.graph_partition and self.partitioned_validation)
+        mesh = None if part_val else self._validation_mesh(n_traj)
         group = mesh.devices.size if mesh is not None else 1
 
         for idxs in self._traj_chunks(dataset, n_traj, group):
@@ -945,6 +1002,13 @@ class Trainer:
                 )
             if chunk is not None:
                 preds_list = [np.asarray(p) for (_, _, p, _) in chunk]
+            elif part_val:
+                preds_list = [
+                    self._rollout_trajectory_partitioned(
+                        variables, dataset, t, k, fetch_preds=True
+                    )[4]
+                    for t, k in zip(idxs, keys)
+                ]
             else:
                 preds_list = []
                 for t, k in zip(idxs, keys):

@@ -230,6 +230,28 @@ def test_fit_graph_partition_matches_single_device(cylinder_env):
         assert all(np.isfinite(v) for v in hist["val_rmse"])
 
 
+def test_partitioned_validation_matches_unpartitioned(cylinder_env):
+    """partitioned_validation=True rolls each trajectory out edge-partitioned
+    over the graph mesh — RMSE must match the unpartitioned rollout."""
+    tmp, param = cylinder_env
+    train_pre = get_preprocessing(param)
+    val_pre = get_preprocessing(param, remove_noise=True)
+    train_ds = get_dataset(param, train_pre)
+    val_ds = get_dataset(param, val_pre, switch_to_val=True)
+    loader = GraphLoader(train_ds, batch_size=2, shuffle=True, prefetch=0)
+    trainer = Trainer(
+        param, learning_rate=1e-3, warmup=2, graph_partition=4,
+        partitioned_validation=True,
+        checkpoint_dir=str(tmp / "ckpt_pv"), metrics_path=None,
+        rollout_dir=None, log_every=5,
+    )
+    history = trainer.fit(loader, val_dataset=val_ds, num_epochs=1)
+    rmse_part = history["val_rmse"][0]
+    trainer.partitioned_validation = False
+    rmse_plain = trainer.validate(val_ds, epoch=0, save_rollout=False)
+    np.testing.assert_allclose(rmse_part, rmse_plain, rtol=1e-4)
+
+
 def test_fit_dp_graph_partition_2d(cylinder_env):
     """Trainer(data_parallel + graph_partition=2): the 2-D (data x graph)
     step from the stacked loader batch."""
