@@ -252,6 +252,30 @@ def test_partitioned_validation_matches_unpartitioned(cylinder_env):
     np.testing.assert_allclose(rmse_part, rmse_plain, rtol=1e-4)
 
 
+def test_graph_partition_rejects_csr_batches(cylinder_env):
+    """CSR-layout batches must be refused loudly (the partitioned model runs
+    the COO attention path; silently dropping csr_bounds would be wrong)."""
+    from graphphysics_tpu.core.graph import pad_graph_csr_np
+
+    _, param = cylinder_env
+    trainer = Trainer(
+        param, graph_partition=2, metrics_path=None, rollout_dir=None,
+    )
+    r = np.random.default_rng(0)
+    n, e = 256, 512
+    x = r.normal(size=(n, 4)).astype(np.float32)
+    x[:, 2] = 0
+    g = pad_graph_csr_np(
+        x, r.normal(size=(n, 2)).astype(np.float32),
+        r.integers(0, n, e).astype(np.int32),
+        r.integers(0, n, e).astype(np.int32),
+        n_pad=n, e_pad=e, edge_attr=r.normal(size=(e, 3)).astype(np.float32),
+        y=r.normal(size=(n, 2)).astype(np.float32), node_type_index=2,
+    )
+    with pytest.raises(ValueError, match="edge_layout"):
+        trainer._partition_graph(g)
+
+
 def test_fit_dp_graph_partition_2d(cylinder_env):
     """Trainer(data_parallel + graph_partition=2): the 2-D (data x graph)
     step from the stacked loader batch."""
