@@ -119,10 +119,11 @@ class Trainer:
                 "(partition the graph OR microbatch the batch; both at once "
                 "would need a [M, P, ...] layout nothing produces)"
             )
-        # static per-part budgets, derived once from the first batch (a
-        # canonical trial partition x headroom) so every step compiles to
-        # the same shapes
-        self._part_budgets = None
+        # static per-part budgets, derived once per batch shape (a canonical
+        # trial partition x headroom) so every step compiles to the same
+        # shapes; keyed by (nodes, edges) so size-bucketed datasets get one
+        # budget pair per bucket instead of a mismatched global one
+        self._part_budgets = {}
         # partitioned_validation=True runs validation rollouts edge-
         # partitioned over the training graph mesh too (for meshes whose
         # EVAL forward doesn't fit one chip); trajectories go sequentially,
@@ -373,7 +374,8 @@ class Trainer:
                 "partitioned model runs the COO attention path (set the "
                 "dataset's edge_layout to 'coo', not 'csr'/'auto')"
             )
-        if self._part_budgets is None:
+        size_key = (int(g.num_nodes), int(np.asarray(g.senders).shape[0]))
+        if size_key not in self._part_budgets:
             trial = (
                 partition_graph_halo_np(g, parts)
                 if halo
@@ -386,8 +388,8 @@ class Trainer:
                 if halo
                 else None
             )
-            self._part_budgets = (eb, hb)
-        eb, hb = self._part_budgets
+            self._part_budgets[size_key] = (eb, hb)
+        eb, hb = self._part_budgets[size_key]
         try:
             if halo:
                 return partition_graph_halo_np(
