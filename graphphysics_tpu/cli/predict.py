@@ -24,6 +24,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max_trajectories", type=int, default=None)
     p.add_argument("--external_features", default=None,
                    choices=[None, "aneurysm", "bezier"])
+    p.add_argument("--graph_partition", type=int, default=0,
+                   help="rollout each trajectory edge-partitioned into P "
+                        "blocks across a graph mesh axis (for meshes whose "
+                        "eval forward doesn't fit one chip)")
+    p.add_argument("--partition_mode", default="halo",
+                   choices=["halo", "gather"])
     p.add_argument("--compilation_cache_dir", default=None,
                    help="persist XLA executables here: repeated predict runs "
                         "skip the multi-minute rollout-scan compiles")
@@ -64,6 +70,12 @@ def main(argv=None) -> int:
             use_previous_data=True,
             previous_data_start=args.previous_data_start,
             previous_data_end=args.previous_data_end,
+        )
+    if args.graph_partition:
+        prev_kwargs.update(
+            graph_partition=args.graph_partition,
+            partition_mode=args.partition_mode,
+            partitioned_validation=True,
         )
     trainer = Trainer(parameters, **prev_kwargs)
     # initialize state shapes from the first frame batch, then restore

@@ -252,6 +252,30 @@ def test_partitioned_validation_matches_unpartitioned(cylinder_env):
     np.testing.assert_allclose(rmse_part, rmse_plain, rtol=1e-4)
 
 
+def test_partitioned_predict_matches_unpartitioned(cylinder_env, tmp_path):
+    """Trainer.predict with partitioned rollouts writes the same predictions
+    as the plain path (grph-predict --graph_partition)."""
+    tmp, param = cylinder_env
+    train_pre = get_preprocessing(param)
+    val_pre = get_preprocessing(param, remove_noise=True)
+    train_ds = get_dataset(param, train_pre)
+    val_ds = get_dataset(param, val_pre, switch_to_val=True)
+    loader = GraphLoader(train_ds, batch_size=2, shuffle=True, prefetch=0)
+    trainer = Trainer(
+        param, learning_rate=1e-3, warmup=2, graph_partition=4,
+        partitioned_validation=True, parallel_validation=False,
+        checkpoint_dir=str(tmp / "ckpt_pp_pred"), metrics_path=None,
+        rollout_dir=None, log_every=5,
+    )
+    trainer.fit(loader, num_epochs=1)
+    out_part = trainer.predict(val_ds, save_dir=str(tmp_path / "p_part"))
+    trainer.partitioned_validation = False
+    out_plain = trainer.predict(val_ds, save_dir=str(tmp_path / "p_plain"))
+    assert len(out_part) == len(out_plain) == val_ds.size_dataset
+    for a, b in zip(out_part, out_plain):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_graph_partition_rejects_csr_batches(cylinder_env):
     """CSR-layout batches must be refused loudly (the partitioned model runs
     the COO attention path; silently dropping csr_bounds would be wrong)."""
