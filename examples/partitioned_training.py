@@ -37,7 +37,7 @@ def main() -> int:
         "XLA_FLAGS", f"--xla_force_host_platform_device_count={args.parts}"
     )
 
-    from tests.fixtures import write_cylinder_h5
+    from graphphysics_tpu.utils.synthetic import write_cylinder_h5
 
     wd = os.path.abspath(args.workdir)
     os.makedirs(wd, exist_ok=True)

@@ -57,10 +57,11 @@ def make_hybrid_mesh(
     ``dcn_shape[i] * ici_shape[i]`` is axis ``i``'s total size; axes with
     ``dcn_shape[i] == 1`` never cross a slice boundary. On real multi-slice
     TPU this uses ``mesh_utils.create_hybrid_device_mesh`` (device
-    ``slice_index`` attributes); on hosts without slice metadata (CPU
-    simulation, single slice) slices are emulated as contiguous
-    equal-sized device groups, preserving the same outer=DCN/inner=ICI
-    nesting so sharding layouts and tests carry over unchanged.
+    ``slice_index`` attributes) when the distinct slice count matches
+    ``prod(dcn_shape)``; otherwise (CPU simulation, or a single real slice
+    asked to emulate several) slices are emulated as contiguous equal-sized
+    device groups, preserving the same outer=DCN/inner=ICI nesting so
+    sharding layouts and tests carry over unchanged.
     """
     if devices is None:
         devices = jax.devices()
@@ -81,7 +82,14 @@ def make_hybrid_mesh(
         )
     mesh_shape = tuple(int(d * i) for d, i in zip(dcn_shape, ici_shape))
 
-    if any(getattr(d, "slice_index", None) is not None for d in devices):
+    # Real multi-slice metadata only counts when the number of DISTINCT
+    # slices matches the requested DCN factor — single-slice devices carry
+    # slice_index=0 (not None), and create_hybrid_device_mesh would raise
+    # for prod(dcn_shape) > 1 on them; emulate contiguous groups instead.
+    slice_ids = {
+        getattr(d, "slice_index", None) for d in devices
+    } - {None}
+    if len(slice_ids) == int(np.prod(dcn_shape)):
         from jax.experimental import mesh_utils
 
         arr = mesh_utils.create_hybrid_device_mesh(
