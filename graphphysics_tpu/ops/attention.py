@@ -107,6 +107,26 @@ def sparse_graph_attention(
         q_e = take_rows(q2, receivers)
         kv_e = partitioned_gather(kv2, senders, partition_axis, halo_send_idx)
         k_e, v_e = kv_e[:, :d], kv_e[:, d:]
+        if csr_bounds is not None:
+            # per-part receiver-sorted CSR (partition_graph_*_np(csr=True)):
+            # the local softmax+SpMM runs in the fused Pallas kernel on each
+            # device's block — the two large-mesh features composed. Only
+            # the gather above touched the collective; the kernel is local.
+            from graphphysics_tpu.ops.pallas_attention import (
+                _NEG,
+                csr_softmax_spmm,
+            )
+
+            scores = scores_of(q_e, k_e)  # [E, H] f32
+            seg = receivers.astype(jnp.int32)
+            if edge_mask is not None:
+                scores = jnp.where(edge_mask[:, None], scores, _NEG)
+                seg = jnp.where(edge_mask, seg, num_nodes)
+            out = csr_softmax_spmm(
+                scores, v_e, seg, csr_bounds, num_nodes,
+                max_chunks=csr_max_chunks,
+            )
+            return out.reshape(num_nodes, h, dh).astype(q.dtype)
         attn = segment_softmax(
             scores_of(q_e, k_e), receivers, num_segments=num_nodes, mask=edge_mask
         )

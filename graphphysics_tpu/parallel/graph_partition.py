@@ -29,12 +29,31 @@ from graphphysics_tpu.core.graph import Graph, round_up
 from graphphysics_tpu.parallel.mesh import GRAPH_AXIS
 
 
+def _part_edge_idx(
+    edge_mask: np.ndarray,
+    part_of_edge: np.ndarray,
+    receivers: np.ndarray,
+    p: int,
+    csr: bool,
+) -> np.ndarray:
+    """Indices of part ``p``'s real edges, in the canonical per-part order:
+    input order for COO, stable-sorted by (local) receiver for CSR — the
+    softmax/segment key of the partitioned convention, which the fused
+    Pallas kernel streams block-contiguously. Shared by the base partitioner
+    and the halo sender remap so row ``i`` always describes the same edge."""
+    idx = np.flatnonzero(edge_mask & (part_of_edge == p))
+    if csr:
+        idx = idx[np.argsort(receivers[idx], kind="stable")]
+    return idx
+
+
 def partition_graph_np(
     graph: Graph,
     num_parts: int,
     axis_name: str = GRAPH_AXIS,
     edge_multiple: int = 128,
     edge_budget_local: Optional[int] = None,
+    csr: bool = False,
 ) -> Graph:
     """Partition an unpartitioned COO Graph into ``num_parts`` shards stacked
     on a new leading axis (shard with ``P(axis_name)`` over the mesh).
@@ -42,6 +61,14 @@ def partition_graph_np(
     Node count must divide evenly (budgets are 128-multiples, so pick
     ``num_parts`` accordingly). Edges go to the part owning their receiver;
     per-part edge arrays are padded to the max part size.
+
+    ``csr=True`` additionally sorts each part's edges by LOCAL receiver (the
+    partitioned softmax segment) and attaches per-part ``csr_bounds``
+    (stacked ``[P, 2, NB]``) + the static ``csr_max_chunks`` so transformer
+    attention runs the fused Pallas softmax+SpMM kernel on each device's
+    local block (``ops.pallas_attention``) — composing the two large-mesh
+    features. Any ``csr_bounds`` on the input (single-chip sender-sorted
+    layout) are recomputed for the per-part convention.
     """
     if graph.partition_axis is not None:
         raise ValueError("graph is already partitioned")
@@ -80,10 +107,18 @@ def partition_graph_np(
     if graph.edge_attr is not None:
         ea = np.asarray(graph.edge_attr)
         ea_p = np.zeros((num_parts, el, ea.shape[1]), ea.dtype)
+    bounds_p = None
+    max_chunks = None
+    if csr:
+        from graphphysics_tpu.ops.pallas_attention import (
+            compute_block_bounds,
+            compute_max_chunks_bounds,
+        )
     for p in range(num_parts):
-        idx = np.flatnonzero(edge_mask & (part_of_edge == p))
+        idx = _part_edge_idx(edge_mask, part_of_edge, receivers, p, csr)
         k = len(idx)
-        # padding edges: self-loop on the part's last (global) node
+        # padding edges: self-loop on the part's last (global) node —
+        # receiver nl-1 also keeps the CSR receiver sort ascending end-to-end
         s_p[p] = p * nl + nl - 1
         r_p[p] = nl - 1
         s_p[p, :k] = senders[idx]
@@ -91,6 +126,13 @@ def partition_graph_np(
         m_p[p, :k] = True
         if ea_p is not None:
             ea_p[p, :k] = ea[idx]
+        if csr:
+            b = compute_block_bounds(r_p[p], nl, num_real_edges=k)
+            mc = compute_max_chunks_bounds(b)
+            if bounds_p is None:
+                bounds_p = np.zeros((num_parts,) + b.shape, np.int32)
+            bounds_p[p] = b
+            max_chunks = mc if max_chunks is None else max(max_chunks, mc)
 
     return Graph(
         x=node_field(graph.x),
@@ -103,6 +145,8 @@ def partition_graph_np(
         y=node_field(graph.y),
         exclude_mask=node_field(graph.exclude_mask),
         partition_axis=axis_name,
+        csr_bounds=bounds_p,
+        csr_max_chunks=max_chunks,
     )
 
 
@@ -132,6 +176,7 @@ def partition_graph_halo_np(
     edge_budget_local: Optional[int] = None,
     halo_multiple: int = 8,
     halo_budget: Optional[int] = None,
+    csr: bool = False,
     _requests=None,
 ) -> Graph:
     """Partition with HALO exchange: like ``partition_graph_np`` but senders
@@ -146,9 +191,14 @@ def partition_graph_halo_np(
 
     ``halo_send_idx`` is ``[P, P, B]`` stacked on the device axis: row
     ``[q, p]`` = local rows device ``q`` sends to device ``p``.
+
+    ``csr=True`` composes halo exchange with the fused Pallas attention
+    kernel: per-part receiver-sorted edges + per-part ``csr_bounds`` (see
+    ``partition_graph_np``), with the remapped senders following the same
+    per-part edge order.
     """
     base = partition_graph_np(
-        graph, num_parts, axis_name, edge_multiple, edge_budget_local
+        graph, num_parts, axis_name, edge_multiple, edge_budget_local, csr=csr
     )
     n = graph.num_nodes
     nl = n // num_parts
@@ -182,9 +232,10 @@ def partition_graph_halo_np(
     # local row (any in-range value works — they are excluded by edge_mask).
     s_new = np.full(base.senders.shape, nl - 1, np.int32)
     for p in range(p_arr):
-        # same real-edge filter and ordering as partition_graph_np, so row i
-        # of s_new[p] describes the same edge as row i of base.senders[p]
-        idx = np.flatnonzero(edge_mask_g & (part_of_edge == p))
+        # same real-edge filter and ordering as partition_graph_np (incl.
+        # the CSR receiver sort), so row i of s_new[p] describes the same
+        # edge as row i of base.senders[p]
+        idx = _part_edge_idx(edge_mask_g, part_of_edge, receivers_g, p, csr)
         k = len(idx)
         s_glob = senders_g[idx]
         owners = s_glob // nl
@@ -216,13 +267,17 @@ def partition_frames_np(
     num_parts: int,
     axis_name: str = GRAPH_AXIS,
     halo: bool = False,
+    csr: bool = False,
 ):
     """Partition every frame of a trajectory identically and stack to leaves
     ``[T, P, ...]`` — the input to ``parallel.dp.partitioned_rollout``.
 
     Frames share the node split; the per-part edge budget (and, with
     ``halo=True``, the halo budget) is the max over frames so all frames
-    share one static shape (world edges may differ per frame)."""
+    share one static shape (world edges may differ per frame). ``csr=True``
+    attaches per-part kernel bounds, with the static ``csr_max_chunks``
+    normalized to the max over frames so the stacked pytree (and the one
+    compiled rollout scan) is uniform."""
     from graphphysics_tpu.core.graph import round_up as _ru
 
     nl = frames[0].num_nodes // num_parts
@@ -247,15 +302,21 @@ def partition_frames_np(
         parts = [
             partition_graph_halo_np(
                 f, num_parts, axis_name,
-                edge_budget_local=budget, halo_budget=halo_b, _requests=req,
+                edge_budget_local=budget, halo_budget=halo_b, csr=csr,
+                _requests=req,
             )
             for f, req in zip(frames, per_frame)
         ]
     else:
         parts = [
-            partition_graph_np(f, num_parts, axis_name, edge_budget_local=budget)
+            partition_graph_np(
+                f, num_parts, axis_name, edge_budget_local=budget, csr=csr
+            )
             for f in frames
         ]
+    if csr:
+        mc = max(p.csr_max_chunks for p in parts)
+        parts = [p.replace(csr_max_chunks=mc) for p in parts]
     import jax
 
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *parts)

@@ -61,6 +61,7 @@ class Trainer:
         graph_partition: int = 0,
         partition_mode: str = "halo",
         partition_edge_headroom: float = 1.25,
+        partition_reorder: Optional[str] = None,
         partitioned_validation: bool = False,
         num_devices: Optional[int] = None,
         save_every_n_steps: Optional[int] = None,
@@ -113,6 +114,19 @@ class Trainer:
             raise ValueError(f"unknown partition_mode {partition_mode!r}")
         self.partition_mode = partition_mode
         self.partition_edge_headroom = float(partition_edge_headroom)
+        # locality-aware node reordering before the contiguous-block cut
+        # (parallel/reorder.py): shrinks the halo volume when the dataset's
+        # node numbering is not already locality-friendly; training is
+        # permutation-equivariant, and validation/predict outputs are mapped
+        # back through the inverse permutation
+        if partition_reorder in ("none", ""):
+            partition_reorder = None
+        if partition_reorder not in (None, "rcm", "bfs", "hilbert"):
+            raise ValueError(
+                f"unknown partition_reorder {partition_reorder!r} "
+                f"(rcm | bfs | hilbert)"
+            )
+        self.partition_reorder = partition_reorder
         if self.graph_partition and gradient_accumulation:
             raise ValueError(
                 "graph_partition does not combine with gradient_accumulation "
@@ -122,7 +136,13 @@ class Trainer:
         # static per-part budgets, derived once per batch shape (a canonical
         # trial partition x headroom) so every step compiles to the same
         # shapes; keyed by (nodes, edges) so size-bucketed datasets get one
-        # budget pair per bucket instead of a mismatched global one
+        # budget pair per bucket instead of a mismatched global one.
+        # fit() pre-derives them from the DATASET's canonical items (item 0 /
+        # per-bucket first item, at epoch 0) so padded shapes — and the
+        # persistent-compile-cache keys — are identical run-to-run and across
+        # resumes, matching the repo's canonical static-budget convention;
+        # the first-batch derivation below remains as a fallback for direct
+        # train-step use without a loader
         self._part_budgets = {}
         # partitioned_validation=True runs validation rollouts edge-
         # partitioned over the training graph mesh too (for meshes whose
@@ -357,9 +377,53 @@ class Trainer:
                 loss_kind=loss_kind, gmm_kwargs=gmm_kwargs,
             )
 
-    def _partition_graph(self, g: Graph) -> Graph:
-        """Partition one (numpy, unpartitioned) Graph with the cached static
-        budgets; first call derives them: canonical trial x headroom."""
+    def _derive_partition_budgets(self, train_loader) -> None:
+        """Pre-derive the static per-part budgets from CANONICAL items (the
+        dataset's item 0, or each bucket's lowest index, built at epoch 0) so
+        the padded shapes do not depend on which shuffled batch a given run
+        or resume happens to see first."""
+        ds = getattr(train_loader, "dataset", None)
+        if ds is None:
+            return  # lazy first-batch fallback in _partition_graph
+        if hasattr(ds, "set_epoch"):
+            ds.set_epoch(0)  # fit() re-sets the epoch before iterating
+        reps = [0]
+        if (
+            getattr(ds, "num_buckets", 1) > 1
+            and hasattr(ds, "bucket_of_index")
+        ):
+            by_bucket: Dict[int, int] = {}
+            for i in range(len(ds)):
+                b = ds.bucket_of_index(i)
+                by_bucket.setdefault(b, i)
+            reps = sorted(by_bucket.values())
+        from graphphysics_tpu.core.graph import concat_graphs
+
+        bsz = int(getattr(train_loader, "batch_size", 1))
+        for i in reps:
+            g0 = ds[int(i)]
+            if self.data_parallel:
+                probe = g0  # stacked batches partition per graph
+            else:
+                probe = concat_graphs([g0] * max(bsz, 1))
+            size_key = (
+                int(probe.num_nodes), int(np.asarray(probe.senders).shape[0])
+            )
+            if size_key not in self._part_budgets:
+                csr = probe.csr_bounds is not None
+                probe, _ = self._maybe_reorder(probe)
+                self._part_budgets[size_key] = self._trial_budgets(
+                    probe, csr=csr
+                )
+
+    def _trial_budgets(self, g: Graph, csr: Optional[bool] = None):
+        """(edge_budget, halo_budget, csr_max_chunks) from a trial partition
+        of ``g`` with the configured headroom. ``csr_max_chunks`` (CSR
+        batches only) is canonicalized here too: every partitioned batch of
+        this shape carries the same static chunk budget, so the step
+        compiles once and stacked DP x graph batches share one pytree.
+        ``csr`` overrides the bounds-presence check (reordering drops the
+        input's bounds but not its layout choice)."""
         from graphphysics_tpu.core.graph import round_up
         from graphphysics_tpu.parallel.graph_partition import (
             partition_graph_halo_np,
@@ -368,38 +432,91 @@ class Trainer:
 
         parts = self.graph_partition
         halo = self.partition_mode == "halo"
-        if g.csr_bounds is not None:
-            raise ValueError(
-                "graph_partition expects edge_layout='coo' batches; the "
-                "partitioned model runs the COO attention path (set the "
-                "dataset's edge_layout to 'coo', not 'csr'/'auto')"
-            )
+        if csr is None:
+            csr = g.csr_bounds is not None
+        trial = (
+            partition_graph_halo_np(g, parts, csr=csr)
+            if halo
+            else partition_graph_np(g, parts, csr=csr)
+        )
+        h = self.partition_edge_headroom
+        eb = round_up(int(trial.senders.shape[1] * h), 128)
+        hb = (
+            round_up(int(trial.halo_send_idx.shape[2] * h), 8)
+            if halo
+            else None
+        )
+        mc = (
+            int(np.ceil(trial.csr_max_chunks * h)) + 1 if csr else None
+        )
+        return eb, hb, mc
+
+    def _maybe_reorder(self, g: Graph):
+        """Apply the configured locality reordering (``partition_reorder``)
+        before the contiguous-block node cut. Returns ``(graph, perm)``;
+        ``perm`` is None when reordering is off."""
+        if not self.partition_reorder:
+            return g, None
+        from graphphysics_tpu.parallel.reorder import (
+            locality_permutation,
+            permute_graph_np,
+        )
+
+        perm = locality_permutation(
+            np.asarray(g.senders),
+            np.asarray(g.receivers),
+            g.num_nodes,
+            edge_mask=np.asarray(g.edge_mask),
+            pos=np.asarray(g.pos),
+            method=self.partition_reorder,
+        )
+        return permute_graph_np(g, perm), perm
+
+    def _partition_graph(self, g: Graph) -> Graph:
+        """Partition one (numpy, unpartitioned) Graph with the cached static
+        budgets; budgets come from the canonical items via
+        ``_derive_partition_budgets`` (fit), or — fallback for direct step
+        use — a trial partition of the first batch of this shape."""
+        from graphphysics_tpu.parallel.graph_partition import (
+            partition_graph_halo_np,
+            partition_graph_np,
+        )
+
+        parts = self.graph_partition
+        halo = self.partition_mode == "halo"
+        # edge_layout='csr'/'auto' batches compose with partitioning: each
+        # part gets receiver-sorted edges + local kernel bounds, so the fused
+        # Pallas attention runs inside the edge-partitioned step
+        csr = g.csr_bounds is not None
+        # training is node-permutation-equivariant (masked sums), so the
+        # reordered partitioned step needs no inverse mapping
+        g, _ = self._maybe_reorder(g)
         size_key = (int(g.num_nodes), int(np.asarray(g.senders).shape[0]))
         if size_key not in self._part_budgets:
-            trial = (
-                partition_graph_halo_np(g, parts)
-                if halo
-                else partition_graph_np(g, parts)
-            )
-            h = self.partition_edge_headroom
-            eb = round_up(int(trial.senders.shape[1] * h), 128)
-            hb = (
-                round_up(int(trial.halo_send_idx.shape[2] * h), 8)
-                if halo
-                else None
-            )
-            self._part_budgets[size_key] = (eb, hb)
-        eb, hb = self._part_budgets[size_key]
+            self._part_budgets[size_key] = self._trial_budgets(g, csr=csr)
+        eb, hb, mc = self._part_budgets[size_key]
         try:
             if halo:
-                return partition_graph_halo_np(
-                    g, parts, edge_budget_local=eb, halo_budget=hb
+                part = partition_graph_halo_np(
+                    g, parts, edge_budget_local=eb, halo_budget=hb, csr=csr
                 )
-            return partition_graph_np(g, parts, edge_budget_local=eb)
+            else:
+                part = partition_graph_np(
+                    g, parts, edge_budget_local=eb, csr=csr
+                )
+            if csr:
+                if part.csr_max_chunks > mc:
+                    raise ValueError(
+                        f"csr_max_chunks {part.csr_max_chunks} > static "
+                        f"chunk budget {mc}"
+                    )
+                part = part.replace(csr_max_chunks=mc)
+            return part
         except ValueError as e:
             raise ValueError(
                 f"graph partitioning exceeded the static budgets derived "
-                f"from the first batch (edge {eb}, halo {hb}); raise "
+                f"from the canonical batch (edge {eb}, halo {hb}, "
+                f"csr chunks {mc}); raise "
                 f"Trainer(partition_edge_headroom=...) above "
                 f"{self.partition_edge_headroom}: {e}"
             ) from e
@@ -454,6 +571,8 @@ class Trainer:
 
         if self.state is None:
             self.init_state(train_loader.peek(), num_steps)
+        if self.graph_partition:
+            self._derive_partition_budgets(train_loader)
 
         if resume_from and (
             os.path.exists(resume_from)
@@ -648,42 +767,56 @@ class Trainer:
 
     def _validation_mesh(self, n_traj: int):
         """Device mesh for parallel validation rollouts, or None (sequential).
-        Reuses the DP training mesh when there is one, else builds a
-        data-axis mesh over the local devices once."""
+        Reuses the DP training mesh when it is single-axis and host-local,
+        else builds a data-axis mesh over THIS HOST's devices once — under
+        multi-host training each process batches its own trajectory share
+        over its local devices (``validate`` distributes trajectories across
+        processes and reduces the stats)."""
         if not self.parallel_validation or n_traj <= 1:
             return None
-        # the graph-partition training mesh axes mean "parts of one graph",
-        # not trajectories — validation builds its own data-axis mesh
-        mesh = self.mesh if not self.graph_partition else None
-        if mesh is None:
-            if len(jax.devices()) <= 1:
-                return None
-            if self._val_mesh is None:
-                from graphphysics_tpu.parallel import make_mesh
-
-                self._val_mesh = make_mesh(self.num_devices)
-            mesh = self._val_mesh
-        # chunks are assembled from host data placed device-by-device: every
-        # mesh device must be addressable from this process, and the mesh
-        # 1-axis (the Trainer only ever builds data-axis meshes)
         pid = jax.process_index()
-        if len(mesh.axis_names) != 1 or any(
-            d.process_index != pid for d in mesh.devices.flat
+        # the graph-partition training mesh axes mean "parts of one graph",
+        # not trajectories — validation builds its own data-axis mesh;
+        # chunks are assembled from host data placed device-by-device, so
+        # every mesh device must be addressable from this process and the
+        # mesh 1-axis (the Trainer only ever builds data-axis meshes)
+        mesh = self.mesh if not self.graph_partition else None
+        if mesh is not None and (
+            len(mesh.axis_names) != 1
+            or any(d.process_index != pid for d in mesh.devices.flat)
         ):
-            return None
+            mesh = None
+        if mesh is None:
+            if self._val_mesh is None:
+                from jax.sharding import Mesh
+
+                from graphphysics_tpu.parallel.mesh import DATA_AXIS
+
+                local = jax.local_devices()
+                if self.num_devices:
+                    local = local[: self.num_devices]
+                if len(local) <= 1:
+                    return None
+                self._val_mesh = Mesh(np.array(local), (DATA_AXIS,))
+            mesh = self._val_mesh
         return mesh
 
-    def _traj_chunks(self, dataset, n_traj: int, group: int):
-        """Per-rollout-chunk trajectory index lists. Size-bucketed datasets
+    def _traj_chunks(self, dataset, traj_ids, group: int):
+        """Per-rollout-chunk lists over the given trajectory ids (this
+        host's share under multi-host validation). Size-bucketed datasets
         group chunks by bucket (same padded shapes) so mixed-size datasets
-        still parallelize; metric accumulation is order-invariant sums."""
+        still parallelize; metric accumulation is order-invariant sums.
+        An int means the first N trajectories (single-host shorthand)."""
+        if isinstance(traj_ids, int):
+            traj_ids = range(traj_ids)
+        traj_ids = list(traj_ids)
         if (
             group > 1
             and getattr(dataset, "num_buckets", 1) > 1
             and hasattr(dataset, "bucket_of_index")
         ):
             by_bucket: Dict[int, list] = {}
-            for t in range(n_traj):
+            for t in traj_ids:
                 b = dataset.bucket_of_index(dataset.trajectory_indices(t)[0])
                 by_bucket.setdefault(b, []).append(t)
             chunks = []
@@ -692,8 +825,7 @@ class Trainer:
                 chunks += [lst[i : i + group] for i in range(0, len(lst), group)]
             return chunks
         return [
-            list(range(i, min(i + group, n_traj)))
-            for i in range(0, n_traj, group)
+            traj_ids[i : i + group] for i in range(0, len(traj_ids), group)
         ]
 
     def _traj_signature(self, dataset, traj: int):
@@ -834,8 +966,19 @@ class Trainer:
             jax.tree_util.tree_map(lambda a, t=t: np.asarray(a)[t], stacked)
             for t in range(leaves[0].shape[0])
         ]
+        csr = stacked.csr_bounds is not None
+        perm = None
+        if self.partition_reorder:
+            # one permutation for the whole trajectory (frame-0 topology:
+            # the base mesh adjacency; per-frame world edges only perturb
+            # the boundary, and the node split must be frame-invariant)
+            from graphphysics_tpu.parallel.reorder import permute_graph_np
+
+            _, perm = self._maybe_reorder(frames[0])
+            frames = [permute_graph_np(f, perm) for f in frames]
         parts = partition_frames_np(
-            frames, self.graph_partition, halo=self.partition_mode == "halo"
+            frames, self.graph_partition, halo=self.partition_mode == "halo",
+            csr=csr,
         )
         spec = P(None, GRAPH_AXIS)
         sharding = NamedSharding(self.mesh, spec)
@@ -848,6 +991,13 @@ class Trainer:
             previous_data_start=self.previous_data_start,
             previous_data_end=self.previous_data_end,
         )
+        if perm is not None:
+            # map node-wise outputs back to the dataset's node order
+            from graphphysics_tpu.parallel.reorder import inverse_permutation
+
+            inv = jnp.asarray(inverse_permutation(perm))
+            preds = preds[:, inv]
+            targets = targets[:, inv]
         return self._traj_stats(
             jnp.asarray(np.asarray(stacked.x)[0]),
             jnp.asarray(np.asarray(stacked.node_mask)[0]),
@@ -900,6 +1050,19 @@ class Trainer:
         part_val = bool(self.graph_partition and self.partitioned_validation)
         mesh = None if part_val else self._validation_mesh(n_traj)
         group = mesh.devices.size if mesh is not None else 1
+        # multi-host: each process rolls out only its interleaved share of
+        # the trajectories (the reference — and round 2 — duplicated ALL
+        # rollouts per host); the (sum-of-squares, count) stats reduce
+        # across hosts below. Partitioned validation is excluded: there
+        # every host participates in every graph-sharded rollout.
+        traj_ids = range(n_traj)
+        multihost = jax.process_count() > 1 and not part_val
+        if multihost:
+            from graphphysics_tpu.parallel.multihost import (
+                process_local_indices,
+            )
+
+            traj_ids = process_local_indices(n_traj).tolist()
         roll_one = (
             self._rollout_trajectory_partitioned
             if part_val
@@ -908,10 +1071,11 @@ class Trainer:
 
         from graphphysics_tpu.utils.progress import ProgressReporter
 
-        prog = ProgressReporter(n_traj, prefix=f"validate epoch {epoch}",
+        prog = ProgressReporter(len(list(traj_ids)),
+                                prefix=f"validate epoch {epoch}",
                                 enable=self.progress)
         done = 0
-        for idxs in self._traj_chunks(val_dataset, n_traj, group):
+        for idxs in self._traj_chunks(val_dataset, traj_ids, group):
             keys = [jax.random.fold_in(base, t) for t in idxs]
             results = None
             if len(idxs) > 1:
@@ -936,6 +1100,20 @@ class Trainer:
             done += len(idxs)
             prog.update(done)
         prog.close()
+        if multihost:
+            # order-invariant sums: the cross-host reduction reproduces the
+            # single-process accumulation exactly (trajectory-0 export and
+            # the plot callback already ran on the host owning trajectory 0)
+            from jax.experimental import multihost_utils
+
+            stats = multihost_utils.process_allgather(
+                np.asarray(
+                    [total_se, total_cnt, vloss_sum, float(vloss_cnt)],
+                    np.float64,
+                )
+            ).sum(axis=0)
+            total_se, total_cnt, vloss_sum = stats[0], stats[1], stats[2]
+            vloss_cnt = int(stats[3])
         # epoch-mean val_loss (None for GMM heads, as in the reference)
         self.last_val_loss = vloss_sum / vloss_cnt if vloss_cnt else None
         return float(np.sqrt(total_se / max(total_cnt, 1.0)))
@@ -995,7 +1173,7 @@ class Trainer:
         mesh = None if part_val else self._validation_mesh(n_traj)
         group = mesh.devices.size if mesh is not None else 1
 
-        for idxs in self._traj_chunks(dataset, n_traj, group):
+        for idxs in self._traj_chunks(dataset, range(n_traj), group):
             keys = [jax.random.fold_in(base, t) for t in idxs]
             chunk = None
             if len(idxs) > 1:

@@ -290,3 +290,216 @@ def test_overlap_exchange_knob_same_function(halo):
                                rtol=2e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(e_ov), np.asarray(e_fu),
                                rtol=2e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------- CSR compose
+# edge_layout="csr" x graph_partition: the fused Pallas attention kernel
+# running INSIDE the edge-partitioned step (per-part receiver-sorted edges +
+# local kernel bounds). Kernel in interpret mode on CPU.
+
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+from graphphysics_tpu.ops.pallas_attention import (  # noqa: E402
+    compute_block_bounds,
+)
+
+
+def test_partition_csr_structure():
+    g = _mesh_graph(n=1024, seed=11)
+    num_parts = 4
+    nl = 1024 // num_parts
+    parts = partition_graph_np(g, num_parts, csr=True)
+    assert parts.csr_bounds is not None and parts.csr_max_chunks >= 1
+    ref = partition_graph_np(g, num_parts)
+    for p in range(num_parts):
+        m = np.asarray(parts.edge_mask[p])
+        k = int(m.sum())
+        r_loc = np.asarray(parts.receivers[p])
+        # real edges receiver-sorted; padding (nl-1) keeps the array sorted
+        assert np.all(np.diff(r_loc[:k]) >= 0)
+        assert np.all(r_loc[k:] == nl - 1)
+        np.testing.assert_array_equal(
+            np.asarray(parts.csr_bounds[p]),
+            compute_block_bounds(r_loc, nl, num_real_edges=k),
+        )
+        # same edge multiset as the unsorted partition
+        got = sorted(zip(np.asarray(parts.senders[p])[m].tolist(),
+                         r_loc[m].tolist()))
+        mr = np.asarray(ref.edge_mask[p])
+        want = sorted(zip(np.asarray(ref.senders[p])[mr].tolist(),
+                          np.asarray(ref.receivers[p])[mr].tolist()))
+        assert got == want
+
+
+def test_partition_halo_csr_senders_consistent():
+    """Halo senders follow the CSR per-part edge order: resolving them
+    through the simulated exchange table matches the global-sender CSR
+    partition row for row."""
+    g = _mesh_graph(n=1024, seed=12)
+    num_parts = 4
+    nl = 1024 // num_parts
+    parts = partition_graph_halo_np(g, num_parts, csr=True)
+    ref = partition_graph_np(g, num_parts, csr=True)
+    np.testing.assert_array_equal(
+        np.asarray(parts.receivers), np.asarray(ref.receivers)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(parts.csr_bounds), np.asarray(ref.csr_bounds)
+    )
+    halo = np.asarray(parts.halo_send_idx)
+    x = np.asarray(g.x)
+    for p in range(num_parts):
+        local = x[p * nl : (p + 1) * nl]
+        recv = np.concatenate(
+            [x[q * nl : (q + 1) * nl][halo[q, p]] for q in range(num_parts)]
+        )
+        table = np.concatenate([local, recv])
+        m = np.asarray(parts.edge_mask[p])
+        np.testing.assert_array_equal(
+            table[np.asarray(parts.senders[p])[m]],
+            x[np.asarray(ref.senders[p])[m]],
+        )
+
+
+@pytest.mark.parametrize("halo", [False, True])
+@pytest.mark.parametrize("num_parts", [2, 4])
+def test_partitioned_csr_transformer_matches_single_device(halo, num_parts):
+    """Fused-kernel attention inside the partitioned transformer forward ==
+    unpartitioned single-device forward (multi-block per part at parts=2)."""
+    g = _mesh_graph(n=1024, seed=13)
+    gj = _jnp(g)
+    model = EncodeTransformDecode(
+        message_passing_num=2, node_input_size=4, output_size=2,
+        hidden_size=16, num_heads=4,
+    )
+    params = model.init(jax.random.key(0), gj)
+    ref = model.apply(params, gj)
+
+    mesh = make_mesh(num_parts, (GRAPH_AXIS,))
+    fn = partition_graph_halo_np if halo else partition_graph_np
+    parts = shard_batch(_jnp(fn(g, num_parts, csr=True)), mesh, GRAPH_AXIS)
+    with pltpu.force_tpu_interpret_mode():
+        out = graph_parallel_forward(model, params, parts, mesh)
+    np.testing.assert_allclose(
+        unpartition_rows(np.asarray(out)), np.asarray(ref), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_partitioned_csr_train_step_matches_single_device():
+    """Full edge-partitioned train step with the fused kernel (fwd + custom
+    VJP): loss == single-device step, and updated params == the COO
+    partitioned step (same sharded fp reduction order, so the comparison
+    isolates exactly the kernel against the XLA segment ops)."""
+    g = _mesh_graph(n=512, seed=14)
+    gj = _jnp(g)
+    cfg = SimulatorConfig(
+        node_input_size=2 + NodeType.SIZE, edge_input_size=0, output_size=2,
+        feature_index_start=0, feature_index_end=2,
+        output_index_start=0, output_index_end=2, node_type_index=2,
+    )
+    model = EncodeTransformDecode(
+        message_passing_num=1, node_input_size=cfg.node_input_size,
+        output_size=2, hidden_size=16, num_heads=4,
+    )
+    sim = Simulator(config=cfg, model=model)
+    variables = sim.init({"params": jax.random.key(0)}, gj)
+    # SGD, not adam: the param delta is then LINEAR in the gradient, so the
+    # comparison tests gradient parity directly (adam's g/(|g|+eps) blows up
+    # fp noise on near-zero-gradient leaves)
+    tx = optax.sgd(0.1)
+    state = {
+        "params": variables["params"],
+        "normalizer": variables["normalizer"],
+        "opt_state": tx.init(variables["params"]),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    from graphphysics_tpu.training.losses import l2_loss
+
+    def loss_fn(p):
+        (out, tgt, _), mut = sim.apply(
+            {"params": p, "normalizer": state["normalizer"]}, gj,
+            is_training=True, mutable=["normalizer"],
+        )
+        nt = gj.x[:, 2].astype(jnp.int32)
+        return l2_loss(tgt, out, nt, [NodeType.NORMAL, NodeType.OUTFLOW],
+                       node_valid=gj.node_mask), mut["normalizer"]
+
+    ref_loss, _ = loss_fn(state["params"])
+
+    def fresh_state():
+        v = jax.tree_util.tree_map(
+            lambda a: jnp.array(np.asarray(a)), variables
+        )
+        return {
+            "params": v["params"],
+            "normalizer": v["normalizer"],
+            "opt_state": tx.init(v["params"]),
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    mesh = make_mesh(4, (GRAPH_AXIS,))
+    step = make_graph_parallel_train_step(
+        sim, tx, [NodeType.NORMAL, NodeType.OUTFLOW], mesh
+    )
+    parts_coo = shard_batch(
+        _jnp(partition_graph_halo_np(g, 4)), mesh, GRAPH_AXIS
+    )
+    parts_csr = shard_batch(
+        _jnp(partition_graph_halo_np(g, 4, csr=True)), mesh, GRAPH_AXIS
+    )
+    coo_state, coo_loss = step(fresh_state(), parts_coo)
+    with pltpu.force_tpu_interpret_mode():
+        new_state, loss = step(fresh_state(), parts_csr)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(loss), float(coo_loss), rtol=1e-6)
+    got = jax.tree_util.tree_leaves(new_state["params"])
+    exp = jax.tree_util.tree_leaves(coo_state["params"])
+    for a, b in zip(got, exp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=3e-5
+        )
+
+
+def test_partitioned_csr_rollout_matches_single_device():
+    from graphphysics_tpu.parallel.dp import partitioned_rollout
+    from graphphysics_tpu.parallel.graph_partition import partition_frames_np
+    from graphphysics_tpu.training.rollout import rollout
+    from graphphysics_tpu.core.graph import stack_graphs
+
+    base = _mesh_graph(n=512, seed=15)
+    r = np.random.default_rng(16)
+    frames = []
+    for _ in range(3):
+        x = np.asarray(base.x).copy()
+        x[:, 0:2] = r.normal(size=x[:, 0:2].shape).astype(np.float32)
+        frames.append(base.replace(
+            x=x, y=r.normal(size=base.y.shape).astype(np.float32)
+        ))
+    cfg = SimulatorConfig(
+        node_input_size=2 + NodeType.SIZE, edge_input_size=0, output_size=2,
+        feature_index_start=0, feature_index_end=2,
+        output_index_start=0, output_index_end=2, node_type_index=2,
+    )
+    model = EncodeTransformDecode(
+        message_passing_num=1, node_input_size=cfg.node_input_size,
+        output_size=2, hidden_size=16, num_heads=4,
+    )
+    sim = Simulator(config=cfg, model=model)
+    stacked = jax.tree_util.tree_map(jnp.asarray, stack_graphs(frames))
+    g0 = jax.tree_util.tree_map(lambda a: a[0], stacked)
+    variables = sim.init({"params": jax.random.key(0)}, g0)
+    ref_preds, ref_targets = rollout(sim, variables, stacked, jax.random.key(1))
+
+    mesh = make_mesh(4, (GRAPH_AXIS,))
+    parts = partition_frames_np(frames, 4, halo=True, csr=True)
+    parts = jax.tree_util.tree_map(jnp.asarray, parts)
+    with pltpu.force_tpu_interpret_mode():
+        preds, targets = partitioned_rollout(
+            sim, variables, parts, mesh, jax.random.key(1)
+        )
+    np.testing.assert_allclose(
+        np.asarray(preds), np.asarray(ref_preds), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(targets), np.asarray(ref_targets), rtol=1e-6
+    )

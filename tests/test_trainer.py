@@ -276,9 +276,11 @@ def test_partitioned_predict_matches_unpartitioned(cylinder_env, tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
-def test_graph_partition_rejects_csr_batches(cylinder_env):
-    """CSR-layout batches must be refused loudly (the partitioned model runs
-    the COO attention path; silently dropping csr_bounds would be wrong)."""
+def test_graph_partition_accepts_csr_batches(cylinder_env):
+    """CSR-layout batches COMPOSE with partitioning (round 3): the trainer
+    re-derives per-part receiver-sorted bounds + a canonical static chunk
+    budget, so the fused Pallas attention runs inside the partitioned step
+    (full numeric parity: tests/test_graph_partition.py test_partitioned_csr_*)."""
     from graphphysics_tpu.core.graph import pad_graph_csr_np
 
     _, param = cylinder_env
@@ -296,8 +298,19 @@ def test_graph_partition_rejects_csr_batches(cylinder_env):
         n_pad=n, e_pad=e, edge_attr=r.normal(size=(e, 3)).astype(np.float32),
         y=r.normal(size=(n, 2)).astype(np.float32), node_type_index=2,
     )
-    with pytest.raises(ValueError, match="edge_layout"):
-        trainer._partition_graph(g)
+    parts = trainer._partition_graph(g)
+    assert parts.csr_bounds is not None
+    assert parts.csr_bounds.shape[0] == 2  # stacked per part
+    assert parts.csr_max_chunks >= 1
+    # per-part real edges are receiver-sorted (the partitioned softmax key)
+    for p in range(2):
+        m = np.asarray(parts.edge_mask[p])
+        rloc = np.asarray(parts.receivers[p])[m]
+        assert np.all(np.diff(rloc) >= 0)
+    # identical static budgets for every batch of this shape (compile cache)
+    parts2 = trainer._partition_graph(g)
+    assert parts2.senders.shape == parts.senders.shape
+    assert parts2.csr_max_chunks == parts.csr_max_chunks
 
 
 def test_fit_dp_graph_partition_2d(cylinder_env):
