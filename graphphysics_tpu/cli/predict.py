@@ -30,6 +30,8 @@ def build_argparser() -> argparse.ArgumentParser:
                         "eval forward doesn't fit one chip)")
     p.add_argument("--partition_mode", default="halo",
                    choices=["halo", "gather"])
+    p.add_argument("--partition_reorder", default=None,
+                   choices=["rcm", "bfs", "hilbert", "none"])
     p.add_argument("--compilation_cache_dir", default=None,
                    help="persist XLA executables here: repeated predict runs "
                         "skip the multi-minute rollout-scan compiles")
@@ -75,6 +77,7 @@ def main(argv=None) -> int:
         prev_kwargs.update(
             graph_partition=args.graph_partition,
             partition_mode=args.partition_mode,
+            partition_reorder=args.partition_reorder,
             partitioned_validation=True,
         )
     trainer = Trainer(parameters, **prev_kwargs)

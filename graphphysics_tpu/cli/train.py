@@ -57,6 +57,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["halo", "gather"],
                    help="per-layer exchange: all_to_all of boundary rows "
                         "(halo) or full-table all_gather")
+    p.add_argument("--partition_reorder", default=None,
+                   choices=["rcm", "bfs", "hilbert", "none"],
+                   help="locality-aware node reordering before the "
+                        "contiguous partition cut (shrinks halo volume; "
+                        "parallel/reorder.py)")
     p.add_argument("--partitioned_validation", action="store_true",
                    help="also run validation rollouts edge-partitioned over "
                         "the graph mesh (for meshes whose eval forward "
@@ -210,6 +215,7 @@ def main(argv=None) -> int:
         gradient_accumulation=args.gradient_accumulation,
         graph_partition=args.graph_partition,
         partition_mode=args.partition_mode,
+        partition_reorder=args.partition_reorder,
         partitioned_validation=args.partitioned_validation,
         learning_rate=args.init_lr,
         warmup=args.warmup,

@@ -32,6 +32,12 @@ from graphphysics_tpu.parallel.graph_partition import (
     partition_graph_np,
     unpartition_rows,
 )
+from graphphysics_tpu.parallel.reorder import (
+    halo_volume,
+    inverse_permutation,
+    locality_permutation,
+    permute_graph_np,
+)
 
 __all__ = [
     "graph_parallel_forward",
@@ -58,4 +64,8 @@ __all__ = [
     "PIPE_AXIS",
     "make_pp_train_step",
     "shard_pp_state",
+    "halo_volume",
+    "inverse_permutation",
+    "locality_permutation",
+    "permute_graph_np",
 ]
