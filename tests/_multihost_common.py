@@ -132,3 +132,65 @@ def make_gp_setup(mesh, graph_axis="graph"):
         graph_axis=graph_axis,
     )
     return state, step
+
+
+VAL_PARAM = {
+    "model": {"type": "epd", "message_passing_num": 1, "hidden_size": 8,
+              "node_input_size": 2, "edge_input_size": 3, "output_size": 2},
+    "index": {"feature_index_start": 0, "feature_index_end": 2,
+              "output_index_start": 0, "output_index_end": 2,
+              "node_type_index": 2},
+}
+
+
+class TrajectoryDataset:
+    """4 deterministic trajectories x 3 frames — the minimal surface
+    Trainer.validate needs (size_dataset / trajectory_indices / __getitem__)."""
+
+    size_dataset = 4
+    frames_per_traj = 3
+
+    def __init__(self):
+        self._items = make_graphs(self.size_dataset * self.frames_per_traj,
+                                  n=128, e=512)
+
+    def __len__(self):
+        return len(self._items)
+
+    def trajectory_indices(self, t):
+        f = self.frames_per_traj
+        return list(range(t * f, (t + 1) * f))
+
+    def __getitem__(self, i):
+        return self._items[i]
+
+
+def run_validation(seed=0):
+    """Build a Trainer with deterministic weights and validate the
+    TrajectoryDataset; returns (rmse, trajectories_this_process_rolled)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphphysics_tpu.training.trainer import Trainer
+
+    ds = TrajectoryDataset()
+    trainer = Trainer(VAL_PARAM, metrics_path=None, rollout_dir=None)
+    gj = jax.tree_util.tree_map(jnp.asarray, ds[0])
+    variables = trainer.sim.init({"params": jax.random.key(seed)}, gj)
+    trainer.state = {
+        "params": variables["params"],
+        "normalizer": variables["normalizer"],
+        "opt_state": None,
+        "step": jnp.zeros((), jnp.int32),
+    }
+    rolled = []
+    orig = trainer._traj_chunks
+
+    def spy(dataset, traj_ids, group):
+        chunks = orig(dataset, traj_ids, group)
+        rolled.extend(t for c in chunks for t in c)
+        return chunks
+
+    trainer._traj_chunks = spy
+    rmse = trainer.validate(ds, epoch=0, save_rollout=False)
+    return rmse, sorted(rolled)

@@ -101,6 +101,12 @@ def main():
         bucket_losses.append(float(bloss))
         bucket_dims.append(int(bb.x.shape[1]))
 
+    # sharded validation phase: each process rolls out only its interleaved
+    # trajectory share; the RMSE stats reduce across hosts inside validate()
+    from tests._multihost_common import run_validation
+
+    val_rmse, val_rolled = run_validation()
+
     with open(out_path, "w") as f:
         json.dump(
             {
@@ -109,11 +115,14 @@ def main():
                 "gp_losses": gp_losses,
                 "bucket_losses": bucket_losses,
                 "bucket_dims": bucket_dims,
+                "val_rmse": val_rmse,
+                "val_rolled": val_rolled,
             },
             f,
         )
     print(f"[worker {pid}] losses={losses} gp={gp_losses} "
-          f"buckets={bucket_dims}", flush=True)
+          f"buckets={bucket_dims} val={val_rmse:.6f} rolled={val_rolled}",
+          flush=True)
 
 
 if __name__ == "__main__":

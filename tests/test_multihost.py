@@ -113,6 +113,20 @@ def test_two_process_dp_matches_single_process(tmp_path):
     assert bdims == results[0]["bucket_dims"]
     np.testing.assert_allclose(results[0]["bucket_losses"], bref, rtol=2e-5)
 
+    # sharded-validation leg: each host rolled out only its interleaved
+    # trajectory share (1/P of the work), both report the identical
+    # cross-host-reduced RMSE, and it matches the single-process run
+    assert results[0]["val_rolled"] == [0, 2]
+    assert results[1]["val_rolled"] == [1, 3]
+    np.testing.assert_allclose(
+        results[0]["val_rmse"], results[1]["val_rmse"], rtol=1e-7
+    )
+    from tests._multihost_common import run_validation
+
+    ref_rmse, ref_rolled = run_validation()
+    assert ref_rolled == [0, 1, 2, 3]
+    np.testing.assert_allclose(results[0]["val_rmse"], ref_rmse, rtol=2e-5)
+
 
 def test_multihost_loader_peek_and_resume_single_process():
     """MultihostGraphLoader implements the Trainer's loader contract
