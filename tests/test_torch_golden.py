@@ -131,3 +131,37 @@ def test_attention_golden(rng):
     out = out.reshape(n, dim)
     golden = out @ _t(p["proj"]["kernel"]) + _t(p["proj"]["bias"])
     np.testing.assert_allclose(ours, golden.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_optimization_trajectory_golden():
+    """Step-by-step training-trajectory parity vs a pure-torch replica of
+    the reference stack (EPD + Simulator normalizers + masked L2 + AdamW +
+    cosine-warmup, weights shared via utils.torch_import): 10 steps, f64,
+    losses agree to ~1e-9. Runs in a subprocess because JAX_ENABLE_X64 is a
+    process-global switch (tests/_torch_traj_parity.py)."""
+    import os
+    import subprocess
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.update({"JAX_ENABLE_X64": "1", "JAX_PLATFORMS": "cpu"})
+    # DROP the TPU tunnel's sitecustomize dir: it imports jax at interpreter
+    # startup and pins the axon platform (hangs in wedged-tunnel windows);
+    # JAX_PLATFORMS=cpu alone is not enough (CLAUDE.md environment notes)
+    keep = [
+        q for q in env.get("PYTHONPATH", "").split(os.pathsep)
+        if q and ".axon_site" not in q
+    ]
+    env["PYTHONPATH"] = os.pathsep.join([repo_root] + keep)
+    # drop the virtual-device flag: the parity run is single-device
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "_torch_traj_parity.py")],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"trajectory parity failed:\n{proc.stdout}\n{proc.stderr}"
+    )
+    assert "TRAJ PARITY OK" in proc.stdout
