@@ -5,6 +5,7 @@ from graphphysics_tpu.topology.build import (
     face_to_edge,
     k_hop_edges,
     min_distance_to_type,
+    tetra_boundary_faces,
     tetra_to_faces,
     to_undirected,
     world_edges,
@@ -18,6 +19,7 @@ __all__ = [
     "face_to_edge",
     "k_hop_edges",
     "min_distance_to_type",
+    "tetra_boundary_faces",
     "tetra_to_faces",
     "to_undirected",
     "world_edges",

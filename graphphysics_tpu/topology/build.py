@@ -69,6 +69,21 @@ def tetra_to_faces(tetra: np.ndarray) -> np.ndarray:
     return np.concatenate([f0, f1, f2, f3], axis=0)
 
 
+def tetra_boundary_faces(tetra: np.ndarray) -> np.ndarray:
+    """Boundary surface of a tetrahedral mesh: the triangle faces that appear
+    in exactly ONE tetrahedron, ``[B, 3]`` with original node ids (interior
+    faces are shared by two cells and cancel). This is the surface the
+    reference renders with PyVista's off-screen camera
+    (``graphphysics/utils/pyvista_mesh.py:6-49``); we extract it host-side
+    for the 3D matplotlib rendering in ``utils.visualization``."""
+    faces = tetra_to_faces(tetra)  # [4T, 3]
+    key = np.sort(faces, axis=1)
+    _, idx, counts = np.unique(
+        key, axis=0, return_index=True, return_counts=True
+    )
+    return faces[idx[counts == 1]]
+
+
 def cells_to_edges(cells: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Triangle or tetra cells -> undirected mesh edge list."""
     cells = np.asarray(cells)

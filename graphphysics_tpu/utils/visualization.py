@@ -21,6 +21,41 @@ def _tri(cells: np.ndarray):
     return c
 
 
+def _is_3d(pts: np.ndarray) -> bool:
+    return pts.shape[1] >= 3 and np.ptp(pts[:, 2]) > 1e-9
+
+
+def _surface_tris(cells: np.ndarray) -> np.ndarray:
+    """Triangles to render for a 3D mesh: the tetra BOUNDARY surface (what
+    PyVista's camera sees, reference ``pyvista_mesh.py:6-49``), or the
+    triangles themselves for a 3D shell mesh."""
+    c = np.asarray(cells)
+    if c.shape[1] == 4:
+        from graphphysics_tpu.topology import tetra_boundary_faces
+
+        return tetra_boundary_faces(c)
+    return c
+
+
+def _render_3d_surface(ax, pts, tris, values, vmin=None, vmax=None):
+    """Depth-sorted shaded boundary surface colored by the per-face mean of
+    ``values`` (matplotlib Poly3DCollection does painter's-algorithm z-sort
+    per draw — the off-screen-camera role of the reference's PyVista
+    screenshots, ``callback.py:38-84``)."""
+    surf = ax.plot_trisurf(
+        pts[:, 0], pts[:, 1], pts[:, 2], triangles=tris,
+        cmap="viridis", linewidth=0.0, antialiased=False,
+    )
+    face_vals = np.asarray(values)[tris].mean(axis=1)
+    surf.set_array(face_vals)
+    if vmin is not None:
+        surf.set_clim(vmin, vmax)
+    # equal aspect so geometry is recognizable
+    ranges = np.ptp(pts, axis=0)
+    ax.set_box_aspect(tuple(np.maximum(ranges, 1e-9)))
+    return surf
+
+
 def render_field_image(
     points: np.ndarray,
     cells: np.ndarray,
@@ -28,23 +63,27 @@ def render_field_image(
     path: str,
     title: str = "",
 ) -> str:
-    """Render one scalar field on the mesh to a PNG; returns the path."""
+    """Render one scalar field on the mesh to a PNG; returns the path.
+    3D meshes render as a depth-sorted boundary surface in a 3D projection
+    (reference renders these with PyVista off-screen cameras,
+    ``callback.py:38-84``); 2D meshes as a gouraud ``tripcolor``."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     pts = np.asarray(points)
-    fig, ax = plt.subplots(figsize=(6, 4), dpi=100)
-    if pts.shape[1] >= 3 and np.ptp(pts[:, 2]) > 1e-9:
-        # volumetric mesh: scatter projection — no face extraction needed
-        sc = ax.scatter(pts[:, 0], pts[:, 1], c=values, s=4, cmap="viridis")
+    fig = plt.figure(figsize=(6, 4), dpi=100)
+    if _is_3d(pts):
+        ax = fig.add_subplot(projection="3d")
+        sc = _render_3d_surface(ax, pts, _surface_tris(cells), values)
     else:
+        ax = fig.add_subplot()
         sc = ax.tripcolor(pts[:, 0], pts[:, 1], _tri(cells), values,
                           shading="gouraud")
-    fig.colorbar(sc, ax=ax)
+        ax.set_aspect("equal")
+    fig.colorbar(sc, ax=ax, shrink=0.7)
     ax.set_title(title)
-    ax.set_aspect("equal")
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     fig.savefig(path, bbox_inches="tight")
     plt.close(fig)
@@ -68,21 +107,36 @@ def render_rollout_gif(
     from matplotlib import animation
 
     pts = np.asarray(points)
-    tri = _tri(cells)
     vmin, vmax = float(np.min(frames)), float(np.max(frames))
-    fig, ax = plt.subplots(figsize=(6, 4), dpi=80)
-    ax.set_aspect("equal")
-    ax.set_title(title)
+    fig = plt.figure(figsize=(6, 4), dpi=80)
+    if _is_3d(pts):
+        tris3d = _surface_tris(cells)
+        ax = fig.add_subplot(projection="3d")
 
-    def draw(k):
-        ax.clear()
-        ax.set_title(f"{title} t={k}")
-        return [
-            ax.tripcolor(
-                pts[:, 0], pts[:, 1], tri, frames[k],
-                shading="gouraud", vmin=vmin, vmax=vmax,
-            )
-        ]
+        def draw(k):
+            ax.clear()
+            ax.set_title(f"{title} t={k}")
+            return [
+                _render_3d_surface(
+                    ax, pts, tris3d, frames[k], vmin=vmin, vmax=vmax
+                )
+            ]
+    else:
+        tri = _tri(cells)
+        ax = fig.add_subplot()
+        ax.set_aspect("equal")
+
+        def draw(k):
+            ax.clear()
+            ax.set_title(f"{title} t={k}")
+            return [
+                ax.tripcolor(
+                    pts[:, 0], pts[:, 1], tri, frames[k],
+                    shading="gouraud", vmin=vmin, vmax=vmax,
+                )
+            ]
+
+    ax.set_title(title)
 
     anim = animation.FuncAnimation(fig, draw, frames=len(frames))
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)

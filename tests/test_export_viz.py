@@ -59,3 +59,76 @@ def test_render_field_image(tmp_path, rng):
         str(tmp_path / "f.png"), title="t",
     )
     assert os.path.exists(p) and os.path.getsize(p) > 1000
+
+
+def _tetra_box(nx=4, ny=4, nz=4):
+    """Regular box of tetrahedra (5 per cube) for 3D rendering tests."""
+    import numpy as np
+
+    idx = lambda x, y, z: (z * ny + y) * nx + x  # noqa: E731
+    pts = np.array(
+        [[x, y, z] for z in range(nz) for y in range(ny) for x in range(nx)],
+        dtype=np.float32,
+    )
+    tets = []
+    for z in range(nz - 1):
+        for y in range(ny - 1):
+            for x in range(nx - 1):
+                v = [idx(x + dx, y + dy, z + dz)
+                     for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
+                if (x + y + z) % 2:
+                    # mirror odd-parity cubes so diagonal faces CONFORM with
+                    # neighbors (else interior faces read as boundary)
+                    v = [v[1], v[0], v[3], v[2], v[5], v[4], v[7], v[6]]
+                # 5-tet decomposition of the cube [v0..v7]
+                tets += [
+                    [v[0], v[1], v[3], v[5]],
+                    [v[0], v[3], v[2], v[6]],
+                    [v[0], v[5], v[6], v[4]],
+                    [v[3], v[5], v[6], v[7]],
+                    [v[0], v[3], v[5], v[6]],
+                ]
+    return pts, np.asarray(tets, np.int64)
+
+
+def test_tetra_boundary_faces_box():
+    """Boundary extraction: faces used by exactly one tetrahedron — for the
+    5-tet box every boundary face lies on the box surface."""
+    import numpy as np
+
+    from graphphysics_tpu.topology import tetra_boundary_faces
+
+    pts, tets = _tetra_box()
+    b = tetra_boundary_faces(tets)
+    assert len(b) > 0
+    # every boundary face has all 3 nodes on some box face plane
+    on_surface = 0
+    for f in b:
+        p = pts[f]
+        for d in range(3):
+            if np.ptp(p[:, d]) == 0 and p[0, d] in (0.0, 3.0):
+                on_surface += 1
+                break
+    assert on_surface == len(b)
+
+
+def test_render_field_image_3d(tmp_path, rng):
+    """3D tetra meshes render as a depth-sorted boundary surface (the
+    reference's PyVista-screenshot role, callback.py:38-84)."""
+    pts, tets = _tetra_box()
+    p = render_field_image(
+        pts, tets, rng.normal(size=(len(pts),)),
+        str(tmp_path / "f3d.png"), title="3d",
+    )
+    assert os.path.exists(p) and os.path.getsize(p) > 1000
+
+
+def test_render_rollout_gif_3d(tmp_path, rng):
+    from graphphysics_tpu.utils.visualization import render_rollout_gif
+
+    pts, tets = _tetra_box(3, 3, 3)
+    frames = rng.normal(size=(3, len(pts)))
+    p = render_rollout_gif(
+        pts, tets, frames, str(tmp_path / "r3d.gif"), title="3d"
+    )
+    assert os.path.exists(p) and os.path.getsize(p) > 1000
