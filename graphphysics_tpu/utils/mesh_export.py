@@ -5,12 +5,22 @@ First-party replacement for the reference's meshio-based export
 ASCII VTK UnstructuredGrid with node features as ``x{i}`` (and targets as
 ``y{i}``) point data, and ``vtu_series_to_xdmf`` compresses a VTU time series
 into one XDMF + HDF5 pair (via ``utils.xdmf``).
+
+``read_vtu`` covers the VTK XML variants real tools emit (ingestion breadth
+parity with the reference's meshio reader, ``xdmf_dataset.py:94-112``):
+ASCII, inline base64 binary, zlib-compressed binary
+(``vtkZLibDataCompressor``), and base64-encoded ``<AppendedData>`` — with
+``UInt32``/``UInt64`` header types and all numeric ``DataArray`` dtypes.
+(Raw — non-base64 — appended data is not well-formed XML and is the one
+flavor not handled.)
 """
 
 from __future__ import annotations
 
+import base64
 import os
 import xml.etree.ElementTree as ET
+import zlib
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -19,6 +29,104 @@ from graphphysics_tpu.core.graph import Graph
 from graphphysics_tpu.utils.xdmf import XdmfTimeSeriesWriter
 
 _VTK_CELL_TYPES = {"triangle": 5, "tetra": 10}
+_VTK_TYPE_TO_CELL = {5: 3, 10: 4}  # vtk type id -> nodes per cell
+
+_DTYPES = {
+    "Float64": np.dtype("<f8"), "Float32": np.dtype("<f4"),
+    "Int64": np.dtype("<i8"), "Int32": np.dtype("<i4"),
+    "Int16": np.dtype("<i2"), "Int8": np.dtype("<i1"),
+    "UInt64": np.dtype("<u8"), "UInt32": np.dtype("<u4"),
+    "UInt16": np.dtype("<u2"), "UInt8": np.dtype("<u1"),
+}
+
+
+def _b64_chars(nbytes: int) -> int:
+    return 4 * (-(-nbytes // 3))
+
+
+def _decode_block(text: str, header_dtype: np.dtype, compressed: bool) -> bytes:
+    """Decode one VTK base64 block (inline binary or one appended array):
+    uncompressed = b64(header) + b64(data) with the byte count in the
+    header; compressed = b64([nblocks, blocksize, last, sizes...]) +
+    b64(zlib blocks)."""
+    text = "".join(text.split())
+    h = header_dtype.itemsize
+    if not compressed:
+        header = np.frombuffer(
+            base64.b64decode(text[: _b64_chars(h)])[:h], header_dtype
+        )
+        nbytes = int(header[0])
+        return base64.b64decode(text[_b64_chars(h):])[:nbytes]
+    head3 = np.frombuffer(
+        base64.b64decode(text[: _b64_chars(3 * h)])[: 3 * h], header_dtype
+    )
+    nblocks = int(head3[0])
+    full = (3 + nblocks) * h
+    header = np.frombuffer(
+        base64.b64decode(text[: _b64_chars(full)])[:full], header_dtype
+    )
+    sizes = header[3:]
+    raw = base64.b64decode(text[_b64_chars(full):])
+    out, off = [], 0
+    for s in sizes:
+        out.append(zlib.decompress(raw[off : off + int(s)]))
+        off += int(s)
+    return b"".join(out)
+
+
+class _VtuDecoder:
+    """Stateful decoder for one VTKFile: header type, compressor, and the
+    appended-data blob (when present)."""
+
+    def __init__(self, root: ET.Element):
+        self.header_dtype = _DTYPES[root.get("header_type", "UInt32")]
+        comp = root.get("compressor")
+        if comp not in (None, "", "vtkZLibDataCompressor"):
+            raise ValueError(f"unsupported VTU compressor {comp!r}")
+        self.compressed = comp == "vtkZLibDataCompressor"
+        self.appended = None
+        app = root.find("AppendedData")
+        if app is not None:
+            if app.get("encoding", "base64") != "base64":
+                raise ValueError(
+                    "raw (non-base64) AppendedData is not XML-parseable; "
+                    "re-export with base64 or inline encoding"
+                )
+            text = "".join((app.text or "").split())
+            # meshio convention: ONE base64 stream for the whole appended
+            # section, DataArray offsets in DECODED bytes
+            self.appended = base64.b64decode(text[text.index("_") + 1 :])
+
+    def read(self, da: ET.Element) -> np.ndarray:
+        dtype = _DTYPES[da.get("type")]
+        fmt = da.get("Format", da.get("format", "ascii"))
+        if fmt == "ascii":
+            return np.fromstring(da.text or "", sep=" ").astype(dtype)
+        if fmt == "binary":
+            raw = _decode_block(da.text, self.header_dtype, self.compressed)
+        elif fmt == "appended":
+            if self.appended is None:
+                raise ValueError("appended DataArray without AppendedData")
+            raw = self._read_appended(int(da.get("offset", "0")))
+        else:
+            raise ValueError(f"unknown DataArray format {fmt!r}")
+        return np.frombuffer(raw, dtype)
+
+    def _read_appended(self, off: int) -> bytes:
+        b, h = self.appended, self.header_dtype.itemsize
+        if not self.compressed:
+            nbytes = int(np.frombuffer(b[off : off + h], self.header_dtype)[0])
+            return b[off + h : off + h + nbytes]
+        head3 = np.frombuffer(b[off : off + 3 * h], self.header_dtype)
+        nblocks = int(head3[0])
+        sizes = np.frombuffer(
+            b[off + 3 * h : off + (3 + nblocks) * h], self.header_dtype
+        )
+        out, p = [], off + (3 + nblocks) * h
+        for s in sizes:
+            out.append(zlib.decompress(b[p : p + int(s)]))
+            p += int(s)
+        return b"".join(out)
 
 
 def graph_to_meshdata(
@@ -49,14 +157,36 @@ def graph_to_meshdata(
     return points, np.asarray(cells), point_data
 
 
+def _encode_inline(arr: np.ndarray, compress: bool) -> str:
+    """Inline-binary encode one array (UInt64 header type): b64(header) +
+    b64(payload), zlib single-block when ``compress``."""
+    raw = np.ascontiguousarray(arr).tobytes()
+    if not compress:
+        header = np.array([len(raw)], "<u8").tobytes()
+        return (
+            base64.b64encode(header).decode() + base64.b64encode(raw).decode()
+        )
+    comp = zlib.compress(raw)
+    header = np.array([1, len(raw), len(raw), len(comp)], "<u8").tobytes()
+    return base64.b64encode(header).decode() + base64.b64encode(comp).decode()
+
+
 def write_vtu(
     path: str,
     points: np.ndarray,
     cells: np.ndarray,
     point_data: Optional[Dict[str, np.ndarray]] = None,
+    format: str = "ascii",
 ) -> None:
-    """Minimal ASCII VTU (VTK XML UnstructuredGrid) writer — triangles or
-    tetrahedra."""
+    """VTU (VTK XML UnstructuredGrid) writer — triangles or tetrahedra.
+
+    ``format``: ``"ascii"`` (default, diff-friendly), ``"binary"`` (inline
+    base64 — ~4/3 of raw size, exact float round-trip), or ``"compressed"``
+    (inline base64 + zlib, ``vtkZLibDataCompressor``)."""
+    if format not in ("ascii", "binary", "compressed"):
+        raise ValueError(f"unknown VTU format {format!r}")
+    compress = format == "compressed"
+    binary = format != "ascii"
     points = np.asarray(points, np.float64)
     cells = np.asarray(cells, np.int64)
     if points.shape[1] == 2:
@@ -65,8 +195,13 @@ def write_vtu(
     vtk_type = _VTK_CELL_TYPES[cell_type]
 
     root = ET.Element(
-        "VTKFile", type="UnstructuredGrid", version="0.1", byte_order="LittleEndian"
+        "VTKFile", type="UnstructuredGrid", version="0.1",
+        byte_order="LittleEndian",
     )
+    if binary:
+        root.set("header_type", "UInt64")
+    if compress:
+        root.set("compressor", "vtkZLibDataCompressor")
     ug = ET.SubElement(root, "UnstructuredGrid")
     piece = ET.SubElement(
         ug,
@@ -75,18 +210,24 @@ def write_vtu(
         NumberOfCells=str(len(cells)),
     )
 
-    def data_array(parent, name, arr, ncomp=None):
+    def data_array(parent, name, arr, ncomp=None, vtk_dtype=None):
         arr = np.asarray(arr)
+        if vtk_dtype is None:
+            vtk_dtype = "Float64" if arr.dtype.kind == "f" else "Int64"
         da = ET.SubElement(
             parent,
             "DataArray",
-            type="Float64" if arr.dtype.kind == "f" else "Int64",
+            type=vtk_dtype,
             Name=name,
-            Format="ascii",
+            Format="binary" if binary else "ascii",
         )
         if ncomp:
             da.set("NumberOfComponents", str(ncomp))
-        da.text = " ".join(str(v) for v in arr.reshape(-1))
+        flat = arr.reshape(-1).astype(_DTYPES[vtk_dtype])
+        if binary:
+            da.text = _encode_inline(flat, compress)
+        else:
+            da.text = " ".join(str(v) for v in flat)
         return da
 
     pts = ET.SubElement(piece, "Points")
@@ -94,10 +235,10 @@ def write_vtu(
     cl = ET.SubElement(piece, "Cells")
     data_array(cl, "connectivity", cells)
     data_array(cl, "offsets", np.arange(1, len(cells) + 1) * cells.shape[1])
-    types = ET.SubElement(
-        cl, "DataArray", type="UInt8", Name="types", Format="ascii"
+    data_array(
+        cl, "types", np.full(len(cells), vtk_type, np.uint8),
+        vtk_dtype="UInt8",
     )
-    types.text = " ".join([str(vtk_type)] * len(cells))
     if point_data:
         pd = ET.SubElement(piece, "PointData")
         for name, arr in point_data.items():
@@ -109,27 +250,41 @@ def write_vtu(
 
 
 def read_vtu(path: str):
-    """Read back a VTU written by ``write_vtu`` (tests / round-trips)."""
+    """Read a VTU in any of the VTK XML flavors (ASCII / inline base64
+    binary / zlib-compressed / base64 AppendedData); returns
+    ``(points [N,3], cells [C,k], point_data)``. Requires a homogeneous
+    triangle or tetra mesh (the framework's cell types)."""
     root = ET.parse(path).getroot()
+    dec = _VtuDecoder(root)
     piece = root.find("UnstructuredGrid/Piece")
-    pts = np.fromstring(
-        piece.find("Points/DataArray").text, sep=" "
-    ).reshape(-1, 3)
-    conn = None
+    pts = dec.read(piece.find("Points/DataArray")).astype(np.float64)
+    pts = pts.reshape(-1, 3)
+    conn = offsets = types = None
     for da in piece.findall("Cells/DataArray"):
         if da.get("Name") == "connectivity":
-            conn = np.fromstring(da.text, sep=" ").astype(np.int64)
-        if da.get("Name") == "offsets":
-            offsets = np.fromstring(da.text, sep=" ").astype(np.int64)
-    k = offsets[0]
+            conn = dec.read(da).astype(np.int64)
+        elif da.get("Name") == "offsets":
+            offsets = dec.read(da).astype(np.int64)
+        elif da.get("Name") == "types":
+            types = dec.read(da).astype(np.int64)
+    if types is not None and len(types):
+        uniq = np.unique(types)
+        if len(uniq) != 1 or int(uniq[0]) not in _VTK_TYPE_TO_CELL:
+            raise ValueError(
+                f"only homogeneous triangle/tetra VTU supported, got cell "
+                f"types {uniq.tolist()}"
+            )
+    k = int(offsets[0])
     cells = conn.reshape(-1, k)
     point_data = {}
     pd = piece.find("PointData")
     if pd is not None:
         for da in pd.findall("DataArray"):
-            arr = np.fromstring(da.text, sep=" ")
+            arr = dec.read(da)
+            if arr.dtype.kind == "f":
+                arr = arr.astype(np.float64)
             ncomp = da.get("NumberOfComponents")
-            if ncomp:
+            if ncomp and int(ncomp) > 1:
                 arr = arr.reshape(-1, int(ncomp))
             point_data[da.get("Name")] = arr
     return pts, cells, point_data

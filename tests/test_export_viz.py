@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from graphphysics_tpu.utils.mesh_export import (
     graph_to_meshdata,
@@ -132,3 +133,95 @@ def test_render_rollout_gif_3d(tmp_path, rng):
         pts, tets, frames, str(tmp_path / "r3d.gif"), title="3d"
     )
     assert os.path.exists(p) and os.path.getsize(p) > 1000
+
+
+@pytest.mark.parametrize("fmt", ["binary", "compressed"])
+def test_vtu_binary_roundtrip(tmp_path, rng, fmt):
+    """Inline base64 binary and zlib-compressed VTU flavors round-trip
+    EXACTLY (no ASCII float truncation)."""
+    points, tris = triangulated_grid(6, 5)
+    pd_in = {
+        "v": rng.normal(size=(len(points),)),
+        "vec": rng.normal(size=(len(points), 2)),
+    }
+    p = str(tmp_path / f"f_{fmt}.vtu")
+    write_vtu(p, points, tris, pd_in, format=fmt)
+    pts, cells, pd = read_vtu(p)
+    np.testing.assert_array_equal(pts[:, :2], points)
+    np.testing.assert_array_equal(cells, tris)
+    np.testing.assert_array_equal(pd["v"], pd_in["v"])  # bit-exact
+    np.testing.assert_array_equal(pd["vec"], pd_in["vec"])
+
+
+def test_vtu_appended_base64(tmp_path, rng):
+    """Base64 AppendedData VTU (meshio's whole-blob convention, byte
+    offsets in the decoded stream) reads back exactly."""
+    import base64
+    import xml.etree.ElementTree as ET
+
+    points, tris = triangulated_grid(5, 4)
+    v = rng.normal(size=(len(points),))
+
+    blob = b""
+    offsets = {}
+
+    def put(name, arr):
+        nonlocal blob
+        raw = np.ascontiguousarray(arr).tobytes()
+        offsets[name] = len(blob)
+        blob += np.array([len(raw)], "<u8").tobytes() + raw
+
+    pts3 = np.hstack([points, np.zeros((len(points), 1))]).astype("<f8")
+    put("Points", pts3)
+    put("connectivity", tris.astype("<i8"))
+    put("offsets", (np.arange(1, len(tris) + 1) * 3).astype("<i8"))
+    put("types", np.full(len(tris), 5, "<u1"))
+    put("v", v.astype("<f8"))
+
+    root = ET.Element("VTKFile", type="UnstructuredGrid",
+                      byte_order="LittleEndian", header_type="UInt64")
+    ug = ET.SubElement(root, "UnstructuredGrid")
+    piece = ET.SubElement(ug, "Piece", NumberOfPoints=str(len(points)),
+                          NumberOfCells=str(len(tris)))
+
+    def da(parent, name, vtk_type, ncomp=None):
+        d = ET.SubElement(parent, "DataArray", type=vtk_type, Name=name,
+                          Format="appended", offset=str(offsets[name]))
+        if ncomp:
+            d.set("NumberOfComponents", str(ncomp))
+
+    da(ET.SubElement(piece, "Points"), "Points", "Float64", 3)
+    cl = ET.SubElement(piece, "Cells")
+    da(cl, "connectivity", "Int64")
+    da(cl, "offsets", "Int64")
+    da(cl, "types", "UInt8")
+    da(ET.SubElement(piece, "PointData"), "v", "Float64")
+    app = ET.SubElement(root, "AppendedData", encoding="base64")
+    app.text = "_" + base64.b64encode(blob).decode()
+    p = str(tmp_path / "appended.vtu")
+    ET.ElementTree(root).write(p)
+
+    pts, cells, pd = read_vtu(p)
+    np.testing.assert_array_equal(pts[:, :2], points)
+    np.testing.assert_array_equal(cells, tris)
+    np.testing.assert_array_equal(pd["v"], v)
+
+
+def test_vtu_rejects_mixed_cell_types(tmp_path, rng):
+    points, tris = triangulated_grid(4, 4)
+    p = str(tmp_path / "m.vtu")
+    write_vtu(p, points, tris, format="binary")
+    # corrupt the types array in-place to mixed
+    import xml.etree.ElementTree as ET
+
+    from graphphysics_tpu.utils.mesh_export import _encode_inline
+
+    tree = ET.parse(p)
+    for da in tree.getroot().iter("DataArray"):
+        if da.get("Name") == "types":
+            t = np.full(len(tris), 5, np.uint8)
+            t[0] = 10
+            da.text = _encode_inline(t, False)
+    tree.write(p)
+    with pytest.raises(ValueError, match="homogeneous"):
+        read_vtu(p)
