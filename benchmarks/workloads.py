@@ -196,7 +196,19 @@ def run(name):
     }))
 
 
+def _enable_cache():
+    try:  # persistent XLA cache: retries across slow-compile tunnel windows
+        from graphphysics_tpu.utils.compilation_cache import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache(".jax_compilation_cache")
+    except Exception:
+        pass
+
+
 if __name__ == "__main__":
+    _enable_cache()
     names = sys.argv[1:] or ["cylinder", "plate", "panels"]
     for nm in names:
         run(nm)
