@@ -40,8 +40,8 @@ def build_step(model_kind, lever):
 
     dtype = jnp.bfloat16 if lever == "bf16" else None
     kw = dict(
-        remat=lever == "remat",
-        scan_blocks=lever == "scan_blocks",
+        remat=lever in ("remat", "scan_remat"),
+        scan_blocks=lever in ("scan_blocks", "scan_remat"),
         dtype=dtype,
     )
     if model_kind == "epd":
@@ -165,7 +165,19 @@ def search(model_kind, lever, start, rounds=3):
         else:
             first_bad = n
             if last_ok is None:
-                return 0
+                # start itself OOMs: halve downward until something fits
+                while n > step_q:
+                    n //= 2
+                    ok = try_step(model_kind, lever, n)
+                    print(json.dumps(
+                        {"config": f"{model_kind}+{lever}", "nodes": n,
+                         "fits": ok}), flush=True)
+                    if ok:
+                        last_ok = n
+                        break
+                    first_bad = n
+                if last_ok is None:
+                    return 0
     for _ in range(rounds):
         mid = (last_ok + first_bad) // 2 // step_q * step_q
         if mid in (last_ok, first_bad):
@@ -189,7 +201,7 @@ def main():
 
     all_cfgs = []
     for mk in ("epd", "tf"):
-        for lever in ("none", "remat", "scan_blocks", "bf16"):
+        for lever in ("none", "remat", "scan_blocks", "scan_remat", "bf16"):
             all_cfgs.append((mk, lever))
     if args.configs:
         want = set(args.configs.split(","))
