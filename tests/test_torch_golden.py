@@ -134,9 +134,11 @@ def test_attention_golden(rng):
 
 
 def test_optimization_trajectory_golden():
-    """Step-by-step training-trajectory parity vs a pure-torch replica of
-    the reference stack (EPD + Simulator normalizers + masked L2 + AdamW +
-    cosine-warmup, weights shared via utils.torch_import): 10 steps, f64,
+    """Step-by-step training-trajectory parity vs pure-torch replicas of
+    the reference stack — BOTH model families: EPD (GraphNetBlocks) and the
+    sparse transformer (the (N, Dh, H) attention layout, 1/sqrt(H) scaling,
+    pre-norm GEGLU blocks) + Simulator normalizers + masked L2 + AdamW +
+    cosine-warmup, weights shared via utils.torch_import: 10 steps, f64,
     losses agree to ~1e-9. Runs in a subprocess because JAX_ENABLE_X64 is a
     process-global switch (tests/_torch_traj_parity.py)."""
     import os
