@@ -45,6 +45,17 @@ def unify_budgets(train_ds, val_ds) -> None:
     eb = max(train_ds.edge_budget or 0, val_ds.edge_budget or 0) or None
     train_ds.node_budget = val_ds.node_budget = nb
     train_ds.edge_budget = val_ds.edge_budget = eb
+    if (
+        getattr(train_ds, "edge_layout", "coo") == "csr"
+        or getattr(val_ds, "edge_layout", "coo") == "csr"
+    ):
+        # re-derive the kernel chunk budgets under the unified shapes and
+        # share the max (same contract as cli/train.py)
+        train_ds.csr_max_chunks = val_ds.csr_max_chunks = None
+        _ = train_ds[0]
+        _ = val_ds[0]
+        mc = max(train_ds.csr_max_chunks or 0, val_ds.csr_max_chunks or 0)
+        train_ds.csr_max_chunks = val_ds.csr_max_chunks = mc
 
 
 def persistence_rmse(val_ds, field_slice, node_type_col: int) -> float:

@@ -34,6 +34,10 @@ def main():
     p.add_argument("--hidden_size", type=int, default=64)
     p.add_argument("--message_passing", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--edge_layout", default="coo",
+                   choices=["coo", "csr", "auto"],
+                   help="csr routes attention through the fused Pallas "
+                        "kernel — end-to-end convergence via the kernel")
     p.add_argument("--gmm", action="store_true",
                    help="GMM K=3 head + NLL loss (c-a-gmm.json family)")
     p.add_argument("--workdir", default=None)
@@ -90,6 +94,7 @@ def main():
             "meta_path": meta_path,
             "khop": 1,
             "new_edges_ratio": 0,
+            "edge_layout": args.edge_layout,
         },
         "model": model,
         # x layout after the hook: [Vitesse(3), wall(1), time(1), accel(3),
