@@ -7,6 +7,8 @@ against a recorded first-light value in BASELINE.json when present, else 1.0.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -259,6 +261,35 @@ def main():
     normed = [p["normalized"] for p in passes if "normalized" in p]
     probe_tfs = [p["tflops"] for p in passes if "tflops" in p]
 
+    # Same-window fused-kernel leg: aneurysm-scale transformer step through
+    # the CSR Pallas attention vs the XLA COO path. A RATIO of two paths in
+    # the same minute stays meaningful at any throttle level (CLAUDE.md),
+    # so this captures the kernel win throttle-independently each round.
+    # Compile-cached (.jax_compilation_cache); skipped when the run is
+    # already over budget or GRAPHPHYSICS_BENCH_CSR=0.
+    csr_over_coo = None
+    if (
+        os.environ.get("GRAPHPHYSICS_BENCH_CSR", "1") != "0"
+        and time.perf_counter() - overall_start < 240.0
+    ):
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(__file__) or ".", "benchmarks")
+            )
+            import workloads
+
+            coo = workloads.measure(
+                "aneurysm", train_iters=6, include_eval=False
+            )
+            csr = workloads.measure(
+                "aneurysm_csr", train_iters=6, include_eval=False
+            )
+            csr_over_coo = round(
+                csr["ms_per_step"] / coo["ms_per_step"], 4
+            )
+        except Exception:
+            pass
+
     # Throttle normalization: the shared-tenancy chip varies >20x across
     # hours and NON-uniformly (HBM observed 24x down while MXU was 4x down).
     # Probe both resources in the same run and compare the measured step to
@@ -278,16 +309,26 @@ def main():
         )
     if normed:
         out["vs_baseline"] = max(normed)
+        out["vs_baseline_median"] = round(float(np.median(normed)), 4)
         out["vs_baseline_raw_wall"] = round(vs_raw, 4)
         out["passes"] = passes
+        if csr_over_coo is not None:
+            out["csr_over_coo_step"] = csr_over_coo
         out["note"] = (
             "vs_baseline = best-of-passes two-resource roofline time / "
             "measured step time, with same-pass matmul+HBM probes (shared "
             "chip throttles >20x and non-uniformly); 1.0 = matches the "
             "demonstrated capability at the chip's current state. "
+            "best-of-passes systematically favors probe under-readings "
+            "(a weak probe inflates the predicted roofline time), so "
+            "vs_baseline_median is the honest central estimate — the "
+            "best/median spread is the method's noise floor (~15%). "
             "vs_baseline_raw_wall is the unnormalized wall-time ratio; "
             "throttled_window flags probe TF/s under 50% of the chip's "
-            "demonstrated 440."
+            "demonstrated 440. csr_over_coo_step = same-window aneurysm "
+            "train-step wall ratio, fused CSR Pallas attention over the "
+            "XLA COO path (<1 = kernel wins; in-window ratios are "
+            "throttle-independent)."
         )
     else:
         out["vs_baseline"] = round(vs_raw, 4)

@@ -64,7 +64,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=12,
                     help="tet grid side (n^3 nodes)")
+    ap.add_argument("--hidden", type=int, default=128,
+                    help="hidden size F for the per-layer BYTES figures "
+                        "(each boundary row ships F activations)")
     args = ap.parse_args()
+
+    # wire bytes per row element: halo_dtype=None ships f32 activations,
+    # "bf16" (Trainer(halo_dtype="bf16") / ops.halo) halves the bytes with
+    # f32 local math — comms volume is BYTES on the wire, not rows
+    wire_bytes = {"f32": 4, "bf16": 2}
 
     out = {}
     for label, shuffle in (("structured", False), ("shuffled", True)):
@@ -73,6 +81,7 @@ def main():
         out[label] = {
             "nodes": int(g.num_nodes),
             "edges": int(em.sum()),
+            "hidden": args.hidden,
             "partitions": {},
         }
         for p in (4, 8):
@@ -86,6 +95,13 @@ def main():
                     "reduction_vs_identity": round(
                         1.0 - v["rows_exchanged_real"] / max(base, 1), 4
                     ),
+                    # per message-passing LAYER, across all devices
+                    "layer_bytes_per_dtype": {
+                        d: int(
+                            v["rows_exchanged_budgeted"] * args.hidden * bpe
+                        )
+                        for d, bpe in wire_bytes.items()
+                    },
                 }
                 for m, v in rows.items()
             }

@@ -131,7 +131,7 @@ def try_step(model_kind, lever, n):
         state, probe = step(state, g)
         ok = bool(np.isfinite(float(probe)))
         del state, probe, g, variables
-        return ok
+        return ok, None
     except Exception as e:
         msg = str(e)
         oom_markers = (
@@ -143,7 +143,10 @@ def try_step(model_kind, lever, n):
             "remote_compile", "HTTP 500",
         )
         if any(m in msg for m in oom_markers):
-            return False
+            # the classified message rides along so broad markers
+            # (remote_compile / HTTP 500 cover ANY tunnel compile error)
+            # stay auditable in the fits=false JSON lines
+            return False, msg.splitlines()[0][:300]
         raise
     finally:
         gc.collect()
@@ -156,9 +159,10 @@ def search(model_kind, lever, start, rounds=3):
     n = start
     last_ok, first_bad = None, None
     while first_bad is None:
-        ok = try_step(model_kind, lever, n)
+        ok, exc = try_step(model_kind, lever, n)
         print(json.dumps({"config": f"{model_kind}+{lever}", "nodes": n,
-                          "fits": ok}), flush=True)
+                          "fits": ok, **({"exc": exc} if exc else {})}),
+              flush=True)
         if ok:
             last_ok = n
             n *= 2
@@ -168,10 +172,11 @@ def search(model_kind, lever, start, rounds=3):
                 # start itself OOMs: halve downward until something fits
                 while n > step_q:
                     n //= 2
-                    ok = try_step(model_kind, lever, n)
+                    ok, exc = try_step(model_kind, lever, n)
                     print(json.dumps(
                         {"config": f"{model_kind}+{lever}", "nodes": n,
-                         "fits": ok}), flush=True)
+                         "fits": ok, **({"exc": exc} if exc else {})}),
+                        flush=True)
                     if ok:
                         last_ok = n
                         break
@@ -182,9 +187,10 @@ def search(model_kind, lever, start, rounds=3):
         mid = (last_ok + first_bad) // 2 // step_q * step_q
         if mid in (last_ok, first_bad):
             break
-        ok = try_step(model_kind, lever, mid)
+        ok, exc = try_step(model_kind, lever, mid)
         print(json.dumps({"config": f"{model_kind}+{lever}", "nodes": mid,
-                          "fits": ok}), flush=True)
+                          "fits": ok, **({"exc": exc} if exc else {})}),
+              flush=True)
         if ok:
             last_ok = mid
         else:
@@ -197,6 +203,9 @@ def main():
     ap.add_argument("--configs", default=None,
                     help="comma list like epd,epd_remat,tf_bf16 (default all)")
     ap.add_argument("--start", type=int, default=16384)
+    ap.add_argument("--rounds", type=int, default=3,
+                    help="midpoint-refinement rounds (more = tighter final "
+                         "interval; each round is one compile)")
     args = ap.parse_args()
 
     all_cfgs = []
@@ -212,7 +221,7 @@ def main():
 
     out = {}
     for mk, lever in all_cfgs:
-        out[f"{mk}+{lever}"] = search(mk, lever, args.start)
+        out[f"{mk}+{lever}"] = search(mk, lever, args.start, rounds=args.rounds)
         print(json.dumps({"summary_so_far": out}), flush=True)
     print(json.dumps({"max_trainable_nodes": out, "edges_per_node": 8}))
 

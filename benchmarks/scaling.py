@@ -113,34 +113,56 @@ def dp_weak_scaling(per_device_graphs=1, n=1024, e=6144, device_counts=None):
     }
 
 
-def halo_strong_scaling(n=8192, e=49152, device_counts=None):
-    """One large mesh partitioned across devices; efficiency = t(1)/(k*t(k))."""
-    sim = _sim()
+def halo_strong_scaling(n=8192, e=49152, device_counts=None,
+                        halo_dtype=None, stub_exchange=False):
+    """One large mesh partitioned across devices; efficiency = t(1)/(k*t(k)).
+
+    ``stub_exchange=True`` times the SAME step with the halo all_to_all
+    replaced by identity (``ops.halo.stub_exchange_for_benchmark``): the gap
+    between the two curves is the collective's share of the step, the rest
+    of any deficit is imbalance/overhead (results are numerically wrong —
+    timing only). ``halo_dtype="bf16"`` ships boundary rows 16-bit; note the
+    CPU backend upcasts bf16 collectives it can't run natively, so only a
+    real TPU mesh shows the byte saving.
+    """
+    import contextlib
+
+    from graphphysics_tpu.ops.halo import stub_exchange_for_benchmark
+
+    sim = _sim()  # fresh model per call: the sharded-step cache keys on it,
+    # so stubbed and real runs never share a compiled step
     tx = optax.adamw(1e-3)
     g = _graph(n, e, seed=0)
     results = {}
     device_counts = device_counts or [1, 2, 4, 8]
-    for nd in device_counts:
-        if nd > len(jax.devices()):
-            break
-        mesh = make_mesh(nd, axis_names=("graph",))
-        parts = partition_graph_halo_np(g, nd, axis_name="graph")
-        variables = sim.init(
-            {"params": jax.random.key(0), "sample": jax.random.key(1)}, g
-        )
-        state = {
-            "params": variables["params"],
-            "normalizer": variables["normalizer"],
-            "opt_state": tx.init(variables["params"]),
-            "step": jnp.zeros((), jnp.int32),
-        }
-        step = make_graph_parallel_train_step(sim, tx, [0, 5], mesh)
-        gb = shard_batch(parts, mesh, axis_name="graph")
-        dt = _time_chained(step, state, gb)
-        results[nd] = dt
-        base = min(results)  # efficiency vs the smallest measured count
-        print(f"halo strong scaling {nd} dev: {dt*1e3:.2f} ms/step "
-              f"(eff {base*results[base]/(nd*dt):.2%})")
+    ctx = (
+        stub_exchange_for_benchmark if stub_exchange else contextlib.nullcontext
+    )
+    label = "halo strong scaling" + (" [no-comm stub]" if stub_exchange else "")
+    with ctx():
+        for nd in device_counts:
+            if nd > len(jax.devices()):
+                break
+            mesh = make_mesh(nd, axis_names=("graph",))
+            parts = partition_graph_halo_np(g, nd, axis_name="graph")
+            if halo_dtype:
+                parts = parts.replace(halo_dtype=halo_dtype)
+            variables = sim.init(
+                {"params": jax.random.key(0), "sample": jax.random.key(1)}, g
+            )
+            state = {
+                "params": variables["params"],
+                "normalizer": variables["normalizer"],
+                "opt_state": tx.init(variables["params"]),
+                "step": jnp.zeros((), jnp.int32),
+            }
+            step = make_graph_parallel_train_step(sim, tx, [0, 5], mesh)
+            gb = shard_batch(parts, mesh, axis_name="graph")
+            dt = _time_chained(step, state, gb)
+            results[nd] = dt
+            base = min(results)  # efficiency vs the smallest measured count
+            print(f"{label} {nd} dev: {dt*1e3:.2f} ms/step "
+                  f"(eff {base*results[base]/(nd*dt):.2%})")
     base = min(results)
     return {
         "ms_per_step": {k: v * 1e3 for k, v in results.items()},
@@ -212,12 +234,44 @@ def rollout_weak_scaling(n=1024, e=6144, T=16, device_counts=None):
 
 
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--attribution", action="store_true",
+                    help="halo strong scaling three ways — exact, no-comm "
+                         "stub, bf16 wire — to attribute the deficit "
+                         "(collective share vs imbalance/overhead)")
+    args = ap.parse_args()
+
     print(f"devices: {len(jax.devices())} x {jax.devices()[0].platform}")
-    out = {
-        "devices": len(jax.devices()),
-        "platform": jax.devices()[0].platform,
-        "dp_weak": dp_weak_scaling(),
-        "halo_strong": halo_strong_scaling(),
-        "rollout_weak": rollout_weak_scaling(),
-    }
+    if args.attribution:
+        exact = halo_strong_scaling()
+        nocomm = halo_strong_scaling(stub_exchange=True)
+        bf16 = halo_strong_scaling(halo_dtype="bf16")
+        share = {
+            k: round(1.0 - nocomm["ms_per_step"][k] / exact["ms_per_step"][k], 4)
+            for k in exact["ms_per_step"]
+            if k in nocomm["ms_per_step"]
+        }
+        out = {
+            "devices": len(jax.devices()),
+            "platform": jax.devices()[0].platform,
+            "halo_strong_exact": exact,
+            "halo_strong_nocomm": nocomm,
+            "halo_strong_bf16_wire": bf16,
+            "collective_share_of_step": share,
+            "note": ("collective_share_of_step = 1 - t_nocomm/t_exact per "
+                     "device count; the remainder of any efficiency deficit "
+                     "is imbalance/overhead. CPU backends upcast bf16 "
+                     "collectives, so bf16_wire only shows the byte saving "
+                     "on real TPU meshes."),
+        }
+    else:
+        out = {
+            "devices": len(jax.devices()),
+            "platform": jax.devices()[0].platform,
+            "dp_weak": dp_weak_scaling(),
+            "halo_strong": halo_strong_scaling(),
+            "rollout_weak": rollout_weak_scaling(),
+        }
     print(json.dumps(out, indent=2, default=str))

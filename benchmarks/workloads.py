@@ -81,7 +81,10 @@ WORKLOADS = {
 }
 
 
-def run(name):
+def measure(name, train_iters=30, eval_iters=30, include_eval=True):
+    """Measure one workload; returns the result dict (run() prints it).
+    ``train_iters``/``include_eval`` let callers (bench.py's CSR-vs-COO leg)
+    bound wall time in throttled windows."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -162,7 +165,20 @@ def run(name):
     def stepper(s, g):
         return step(s, g)
 
-    sec, _ = time_chained_steps(stepper, state, graph, iters=30, warmup=3)
+    sec, _ = time_chained_steps(
+        stepper, state, graph, iters=train_iters, warmup=3
+    )
+
+    edges = w["batch"] * w["e"]
+    result = {
+        "workload": name,
+        "ms_per_step": round(sec * 1e3, 3),
+        "edges_per_sec": round(edges / sec, 1),
+        "model": w["model"],
+        "scale": f"{w['mp']}x{w['hidden']}",
+    }
+    if not include_eval:
+        return result
 
     # Inference / serving rate: chained eval forwards with autoregressive
     # feedback (the rollout's per-frame work: normalize -> model ->
@@ -181,19 +197,15 @@ def run(name):
         return pred, pred[0, 0]  # (carry, probe) — probe forces full frame
 
     esec, _ = time_chained_steps(
-        eval_stepper, graph.x[:, :out_w], graph, iters=30, warmup=3
+        eval_stepper, graph.x[:, :out_w], graph, iters=eval_iters, warmup=3
     )
+    result["rollout_ms_per_frame"] = round(esec * 1e3, 3)
+    result["rollout_edges_per_sec"] = round(edges / esec, 1)
+    return result
 
-    edges = w["batch"] * w["e"]
-    print(json.dumps({
-        "workload": name,
-        "ms_per_step": round(sec * 1e3, 3),
-        "edges_per_sec": round(edges / sec, 1),
-        "rollout_ms_per_frame": round(esec * 1e3, 3),
-        "rollout_edges_per_sec": round(edges / esec, 1),
-        "model": w["model"],
-        "scale": f"{w['mp']}x{w['hidden']}",
-    }))
+
+def run(name):
+    print(json.dumps(measure(name)))
 
 
 def _enable_cache():

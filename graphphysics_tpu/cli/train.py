@@ -62,6 +62,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="locality-aware node reordering before the "
                         "contiguous partition cut (shrinks halo volume; "
                         "parallel/reorder.py)")
+    p.add_argument("--halo_dtype", default=None,
+                   choices=["bf16", "f16", "none"],
+                   help="wire dtype for the per-layer halo all_to_all "
+                        "(bf16 halves the boundary-exchange bytes; local "
+                        "math stays f32 — ops/halo.py)")
     p.add_argument("--partitioned_validation", action="store_true",
                    help="also run validation rollouts edge-partitioned over "
                         "the graph mesh (for meshes whose eval forward "
@@ -216,6 +221,7 @@ def main(argv=None) -> int:
         graph_partition=args.graph_partition,
         partition_mode=args.partition_mode,
         partition_reorder=args.partition_reorder,
+        halo_dtype=args.halo_dtype,
         partitioned_validation=args.partitioned_validation,
         learning_rate=args.init_lr,
         warmup=args.warmup,

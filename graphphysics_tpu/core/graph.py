@@ -17,7 +17,12 @@ import jax
 import numpy as np
 
 
-_META_FIELDS = ("ell_degree", "partition_axis", "csr_max_chunks")
+_META_FIELDS = (
+    "ell_degree",
+    "partition_axis",
+    "csr_max_chunks",
+    "halo_dtype",
+)
 
 
 def _dc(cls):
@@ -77,6 +82,11 @@ class Graph:
         csr_max_chunks: static; the busiest block's chunk budget for the CSR
             kernel grid (same for every sample of a dataset so the step
             compiles once).
+        halo_dtype: static; wire dtype for the per-layer halo exchange
+            ("bf16" halves the all_to_all bytes — the dominant multi-chip
+            comms term; local math stays in the compute dtype, and the
+            backward cotangent ships 16-bit too). None = exchange in the
+            activations' own dtype.
     """
 
     x: jax.Array
@@ -94,6 +104,7 @@ class Graph:
     ell_degree: Optional[int] = None
     partition_axis: Optional[str] = None
     csr_max_chunks: Optional[int] = None
+    halo_dtype: Optional[str] = None
 
     @property
     def num_nodes(self) -> int:

@@ -262,7 +262,7 @@ class BaseDataset(abc.ABC):
 
     def _drop_canonical_if_done(self) -> None:
         """Free the cached canonical RawSample (tens of MB at large-mesh
-        scale, and pickled into every forked worker) once every lazy static
+        scale, and pickled into every spawned worker) once every lazy static
         budget it can feed has materialized."""
         if self._canonical_sample_cache is None:
             return

@@ -166,10 +166,10 @@ class H5Dataset(BaseDataset):
         return sample
 
     def reset_process_state(self):
-        """Drop the open h5 handle + trajectory cache. Called in freshly
-        forked loader workers (``loader._init_worker``): a handle inherited
-        through fork shares the OS file description with the parent and
-        HDF5 is not fork-safe — each process must reopen its own."""
+        """Drop the open h5 handle + trajectory cache. Called in fresh
+        loader worker processes (``loader._worker_main``) so each process
+        opens its own HDF5 handle — sharing one OS file description across
+        processes corrupts HDF5 reads."""
         self._file = None
         self._traj_cache = OrderedDict()
 

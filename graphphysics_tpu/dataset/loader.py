@@ -8,6 +8,7 @@ devices at graph granularity.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import threading
 import queue as queue_mod
@@ -163,22 +164,15 @@ class GraphLoader:
             ds[int(order[0])]
 
     def _make_pool(self, order):
-        import concurrent.futures as cf
-        import multiprocessing as mp
-
         self._materialize_static_shapes(order)
-        # fork explicitly: initargs (the dataset, incl. its preprocessing
-        # pipeline) stay inherited rather than pickled, and behavior doesn't
-        # change when the platform default flips to forkserver/spawn. The
-        # pool is created from the MAIN thread (before the prefetch thread
-        # exists) to avoid fork-with-threads hazards.
-        ctx = mp.get_context("fork") if hasattr(os, "fork") else None
-        return cf.ProcessPoolExecutor(
-            max_workers=self.num_workers,
-            mp_context=ctx,
-            initializer=_init_worker,
-            initargs=(self.dataset,),
-        )
+        # spawn, never fork: the parent is a multithreaded JAX process, and
+        # fork() under live threads is a documented deadlock (the reference
+        # sets the spawn start method for the same reason, train.py:266).
+        # Workers are started EAGERLY here so every child inherits the
+        # sanitized environment (_worker_env) — Python 3.12's
+        # ProcessPoolExecutor spawns lazily per submit, which would let
+        # workers inherit whatever the env looks like mid-epoch.
+        return _SpawnWorkerPool(self.dataset, self.num_workers)
 
     def _batches_multiprocess(self, chunks, pool, start=0) -> Iterator[Graph]:
         """Worker PROCESSES build items in parallel (the role of the
@@ -192,9 +186,7 @@ class GraphLoader:
             pending = {}
 
             def submit(b):
-                pending[b] = [
-                    pool.submit(_worker_get, int(i)) for i in chunks[b]
-                ]
+                pending[b] = [pool.submit(int(i)) for i in chunks[b]]
 
             for b in range(start, min(start + window, n)):
                 submit(b)
@@ -323,22 +315,159 @@ def dataset_bucket_ids(ds) -> Optional[np.ndarray]:
     return ids
 
 
-# -- worker-process globals: the dataset is pickled once per worker via the
-#    pool initializer instead of per task
-_WORKER_DATASET = None
+# -- spawn worker pool ------------------------------------------------------
+#
+# PYTHONPATH entries dropped from worker processes: site dirs whose
+# sitecustomize initializes an accelerator backend at interpreter startup
+# (the TPU tunnel plugin does). Loader workers do host-side numpy work only;
+# letting each one grab the device is slow and hang-prone.
+_WORKER_PYTHONPATH_EXCLUDE = (".axon_site",)
 
 
-def _init_worker(dataset):
-    global _WORKER_DATASET
-    _WORKER_DATASET = dataset
-    # Under fork the parent's open state is INHERITED (initargs are not
-    # pickled, so __getstate__-based reopen never runs): drop any open h5
-    # handle — sharing one OS file description across forked processes
-    # corrupts HDF5 reads — and per-process caches.
+@contextlib.contextmanager
+def _worker_env():
+    """Environment for spawned loader workers: CPU-only JAX, accelerator
+    site dirs stripped. Applied around Process.start() — spawn children
+    snapshot os.environ at start time."""
+    saved = {k: os.environ.get(k) for k in ("PYTHONPATH", "JAX_PLATFORMS")}
+    parts = [
+        p
+        for p in (saved["PYTHONPATH"] or "").split(os.pathsep)
+        if p and not any(m in p for m in _WORKER_PYTHONPATH_EXCLUDE)
+    ]
+    os.environ["PYTHONPATH"] = os.pathsep.join(parts)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def _worker_main(dataset, tasks, results):
+    # Spawn pickled the dataset (h5 handles/caches dropped by __getstate__);
+    # reset_process_state is still called for datasets that keep per-process
+    # state outside __getstate__.
     reset = getattr(dataset, "reset_process_state", None)
     if reset is not None:
         reset()
+    while True:
+        task = tasks.get()
+        if task is None:
+            return
+        tid, index = task
+        try:
+            results.put((tid, True, dataset[index]))
+        except BaseException as e:  # noqa: BLE001 — relayed to the parent
+            import traceback
+
+            try:
+                results.put((tid, False, e))
+            except Exception:
+                results.put(
+                    (tid, False, RuntimeError(traceback.format_exc()))
+                )
 
 
-def _worker_get(index: int):
-    return _WORKER_DATASET[index]
+class _PoolTask:
+    """Minimal future: results are drained by the single consuming thread."""
+
+    __slots__ = ("_pool", "_tid")
+
+    def __init__(self, pool, tid):
+        self._pool = pool
+        self._tid = tid
+
+    def result(self):
+        return self._pool._result_for(self._tid)
+
+
+class _SpawnWorkerPool:
+    """Item-building worker processes (the role of the reference DataLoader's
+    workers, ``train.py:133-161``), started eagerly via the spawn context.
+
+    spawn (not fork) because the parent is multithreaded under JAX; each
+    child pays a fresh-interpreter + jax-on-CPU import at startup (~1-2 s,
+    overlapped across workers and amortized over the epoch). User __main__
+    scripts must be guarded with ``if __name__ == "__main__":`` as with any
+    spawn-based multiprocessing.
+    """
+
+    def __init__(self, dataset, num_workers: int):
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        self._tasks = ctx.Queue()
+        self._results = ctx.Queue()
+        self._done: dict = {}
+        self._next_tid = 0
+        self._pending: set = set()
+        self._shutdown = False
+        with _worker_env():
+            self._procs = [
+                ctx.Process(
+                    target=_worker_main,
+                    args=(dataset, self._tasks, self._results),
+                    daemon=True,
+                )
+                for _ in range(num_workers)
+            ]
+            for p in self._procs:
+                p.start()
+
+    def submit(self, index: int) -> _PoolTask:
+        tid = self._next_tid
+        self._next_tid += 1
+        self._pending.add(tid)
+        self._tasks.put((tid, int(index)))
+        return _PoolTask(self, tid)
+
+    def _result_for(self, tid: int):
+        while tid not in self._done:
+            try:
+                rtid, ok, payload = self._results.get(timeout=1.0)
+            except queue_mod.Empty:
+                if not any(p.is_alive() for p in self._procs):
+                    raise RuntimeError(
+                        "all loader workers exited with results pending"
+                    ) from None
+                continue
+            self._pending.discard(rtid)
+            self._done[rtid] = (ok, payload)
+        ok, payload = self._done.pop(tid)
+        if not ok:
+            raise payload
+        return payload
+
+    def shutdown(self, wait: bool = True, cancel_futures: bool = False):
+        if self._shutdown:
+            return
+        self._shutdown = True
+        if cancel_futures:
+            while True:
+                try:
+                    self._tasks.get_nowait()
+                except queue_mod.Empty:
+                    break
+        for _ in self._procs:
+            self._tasks.put(None)
+        if wait:
+            for p in self._procs:
+                p.join(timeout=10)
+        for p in self._procs:
+            if not p.is_alive():
+                continue
+            if wait:
+                p.terminate()
+        self._tasks.close()
+        self._results.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown(wait=True)
+        return False

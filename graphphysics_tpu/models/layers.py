@@ -183,6 +183,7 @@ class Attention(nn.Module):
         halo_send_idx: Optional[jax.Array] = None,
         csr_bounds: Optional[jax.Array] = None,
         csr_max_chunks: Optional[int] = None,
+        halo_dtype: Optional[str] = None,
     ) -> jax.Array:
         assert self.output_dim % self.num_heads == 0
         head_dim = self.output_dim // self.num_heads
@@ -240,6 +241,7 @@ class Attention(nn.Module):
             halo_send_idx=halo_send_idx,
             csr_bounds=csr_bounds,
             csr_max_chunks=csr_max_chunks,
+            halo_dtype=halo_dtype,
         )
         # Back to the reference's flat layout: [N, H, Dh] -> (N, Dh, H) -> [N, D].
         y = y.transpose(0, 2, 1).reshape(n, self.output_dim)
@@ -272,6 +274,7 @@ class TransformerBlock(nn.Module):
         halo_send_idx: Optional[jax.Array] = None,
         csr_bounds: Optional[jax.Array] = None,
         csr_max_chunks: Optional[int] = None,
+        halo_dtype: Optional[str] = None,
     ) -> jax.Array:
         attn = Attention(
             output_dim=self.output_dim,
@@ -292,6 +295,7 @@ class TransformerBlock(nn.Module):
             halo_send_idx,
             csr_bounds,
             csr_max_chunks,
+            halo_dtype,
         ).astype(x.dtype)
         x = x + GatedMLPBlock(
             hidden_size=self.output_dim, out_size=self.output_dim, dtype=self.dtype,
@@ -419,14 +423,16 @@ class GraphNetBlock(nn.Module):
         twin_perm: Optional[jax.Array] = None,
         partition_axis: Optional[str] = None,
         halo_send_idx: Optional[jax.Array] = None,
+        halo_dtype: Optional[str] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         if partition_axis is not None:
             # Edge-partitioned SPMD: receivers are local; senders index the
             # all-gathered global node table (backward: reduce_scatter) — or,
-            # in halo mode, the O(boundary) all_to_all exchange table.
+            # in halo mode, the O(boundary) all_to_all exchange table
+            # (shipped 16-bit when halo_dtype="bf16").
             gather_recv = lambda p: take_rows(p, receivers)  # noqa: E731
             gather_send = lambda p: partitioned_gather(  # noqa: E731
-                p, senders, partition_axis, halo_send_idx
+                p, senders, partition_axis, halo_send_idx, halo_dtype
             )
         elif ell_degree is not None:
             # ELL fast path: receivers are slot owners -> broadcast; senders

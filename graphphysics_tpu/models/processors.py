@@ -27,8 +27,8 @@ from graphphysics_tpu.models.layers import (
 # ``ell_degree`` / ``csr_max_chunks`` are Python ints used as shapes, and
 # ``partition_axis`` is a mesh-axis *name* (str) — jax.checkpoint cannot
 # trace any of them as pytree leaves.
-_GNB_STATICS = (6, 8)  # ell_degree, partition_axis
-_TFB_STATICS = (5, 7, 10)  # ell_degree, partition_axis, csr_max_chunks
+_GNB_STATICS = (6, 8, 10)  # ell_degree, partition_axis, halo_dtype
+_TFB_STATICS = (5, 7, 10, 11)  # ell_degree, partition_axis, csr_max_chunks, halo_dtype
 
 
 class _ScannedGraphNetStack(nn.Module):
@@ -42,6 +42,7 @@ class _ScannedGraphNetStack(nn.Module):
     partition_axis: Any = None
     dtype: Any = None
     remat: bool = False
+    halo_dtype: Any = None
 
     @nn.compact
     def __call__(self, carry, senders, receivers, edge_mask, twin_perm,
@@ -54,7 +55,7 @@ class _ScannedGraphNetStack(nn.Module):
         x, edge_attr = block_cls(
             hidden_size=self.hidden_size, dtype=self.dtype, name="block"
         )(x, edge_attr, senders, receivers, edge_mask, self.ell_degree,
-          twin_perm, self.partition_axis, halo_send_idx)
+          twin_perm, self.partition_axis, halo_send_idx, self.halo_dtype)
         return (x, edge_attr), None
 
 
@@ -71,6 +72,7 @@ class _ScannedTransformerStack(nn.Module):
     remat: bool = False
 
     csr_max_chunks: Any = None
+    halo_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_mask, twin_perm,
@@ -88,7 +90,7 @@ class _ScannedTransformerStack(nn.Module):
             name="block",
         )(x, senders, receivers, edge_mask, self.ell_degree, twin_perm,
           self.partition_axis, halo_send_idx, csr_bounds,
-          self.csr_max_chunks)
+          self.csr_max_chunks, self.halo_dtype)
         return x, None
 
 
@@ -169,7 +171,7 @@ class EncodeProcessDecode(nn.Module):
                 _ScannedGraphNetStack, self.message_passing_num, "blocks",
                 hidden_size=self.hidden_size, ell_degree=graph.ell_degree,
                 partition_axis=graph.partition_axis, dtype=self.dtype,
-                remat=self.remat,
+                remat=self.remat, halo_dtype=graph.halo_dtype,
             )((x, edge_attr), graph.senders, graph.receivers,
               graph.edge_mask, graph.twin_perm, graph.halo_send_idx)
         else:
@@ -191,6 +193,7 @@ class EncodeProcessDecode(nn.Module):
                     graph.twin_perm,
                     graph.partition_axis,
                     graph.halo_send_idx,
+                    graph.halo_dtype,
                 )
 
         if self.only_processor:
@@ -252,6 +255,7 @@ class EncodeTransformDecode(nn.Module):
                 ell_degree=graph.ell_degree,
                 partition_axis=graph.partition_axis, dtype=self.dtype,
                 remat=self.remat, csr_max_chunks=graph.csr_max_chunks,
+                halo_dtype=graph.halo_dtype,
             )(x, graph.senders, graph.receivers, graph.edge_mask,
               graph.twin_perm, graph.halo_send_idx, graph.csr_bounds)
         else:
@@ -278,6 +282,7 @@ class EncodeTransformDecode(nn.Module):
                     graph.halo_send_idx,
                     graph.csr_bounds,
                     graph.csr_max_chunks,
+                    graph.halo_dtype,
                 )
 
         if self.only_processor:

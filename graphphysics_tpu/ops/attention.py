@@ -49,6 +49,7 @@ def sparse_graph_attention(
     halo_send_idx: Optional[jax.Array] = None,
     csr_bounds: Optional[jax.Array] = None,
     csr_max_chunks: Optional[int] = None,
+    halo_dtype: Optional[str] = None,
 ) -> jax.Array:
     """Adjacency-masked attention.
 
@@ -105,7 +106,9 @@ def sparse_graph_attention(
         # softmax + aggregation are local segment ops. Equals the COO
         # convention on the symmetric mesh adjacency.
         q_e = take_rows(q2, receivers)
-        kv_e = partitioned_gather(kv2, senders, partition_axis, halo_send_idx)
+        kv_e = partitioned_gather(
+            kv2, senders, partition_axis, halo_send_idx, halo_dtype
+        )
         k_e, v_e = kv_e[:, :d], kv_e[:, d:]
         if csr_bounds is not None:
             # per-part receiver-sorted CSR (partition_graph_*_np(csr=True)):

@@ -139,6 +139,12 @@ def halo_volume(graph: Graph, num_parts: int) -> dict:
     from graphphysics_tpu.parallel.graph_partition import _halo_requests
 
     n = graph.num_nodes
+    if n % num_parts != 0:
+        # matches partition_graph_np's check: receivers // nl would map
+        # past the last part and silently underreport the proxy otherwise
+        raise ValueError(
+            f"num_nodes {n} not divisible by num_parts {num_parts}"
+        )
     nl = n // num_parts
     senders = np.asarray(graph.senders)
     receivers = np.asarray(graph.receivers)

@@ -62,6 +62,7 @@ class Trainer:
         partition_mode: str = "halo",
         partition_edge_headroom: float = 1.25,
         partition_reorder: Optional[str] = None,
+        halo_dtype: Optional[str] = None,
         partitioned_validation: bool = False,
         num_devices: Optional[int] = None,
         save_every_n_steps: Optional[int] = None,
@@ -127,6 +128,16 @@ class Trainer:
                 f"(rcm | bfs | hilbert)"
             )
         self.partition_reorder = partition_reorder
+        # wire dtype for the per-layer halo all_to_all ("bf16" halves the
+        # dominant multi-chip comms bytes; local math stays f32 — see
+        # ops/halo.halo_table). Only meaningful with partition_mode="halo".
+        if halo_dtype in ("none", ""):
+            halo_dtype = None
+        if halo_dtype not in (None, "bf16", "f16"):
+            raise ValueError(
+                f"unknown halo_dtype {halo_dtype!r} (bf16 | f16 | None)"
+            )
+        self.halo_dtype = halo_dtype
         if self.graph_partition and gradient_accumulation:
             raise ValueError(
                 "graph_partition does not combine with gradient_accumulation "
@@ -144,6 +155,9 @@ class Trainer:
         # the first-batch derivation below remains as a fallback for direct
         # train-step use without a loader
         self._part_budgets = {}
+        # locality-reorder permutations keyed by (method, edge-list digest):
+        # static mesh topology -> one scipy solve, not one per batch
+        self._reorder_cache = {}
         # partitioned_validation=True runs validation rollouts edge-
         # partitioned over the training graph mesh too (for meshes whose
         # EVAL forward doesn't fit one chip); trajectories go sequentially,
@@ -454,7 +468,14 @@ class Trainer:
     def _maybe_reorder(self, g: Graph):
         """Apply the configured locality reordering (``partition_reorder``)
         before the contiguous-block node cut. Returns ``(graph, perm)``;
-        ``perm`` is None when reordering is off."""
+        ``perm`` is None when reordering is off.
+
+        The permutation is cached by a digest of the edge list: mesh
+        topology is static across a trajectory's batches, so the scipy
+        RCM/BFS/Morton solve runs once per distinct topology instead of on
+        every training batch's host critical path. ("hilbert" keys on
+        topology too — per-batch noise jitters pos without changing
+        locality, so the first-seen batch's curve order is reused.)"""
         if not self.partition_reorder:
             return g, None
         from graphphysics_tpu.parallel.reorder import (
@@ -462,14 +483,27 @@ class Trainer:
             permute_graph_np,
         )
 
-        perm = locality_permutation(
-            np.asarray(g.senders),
-            np.asarray(g.receivers),
-            g.num_nodes,
-            edge_mask=np.asarray(g.edge_mask),
-            pos=np.asarray(g.pos),
-            method=self.partition_reorder,
-        )
+        senders = np.asarray(g.senders)
+        receivers = np.asarray(g.receivers)
+        edge_mask = np.asarray(g.edge_mask)
+        import hashlib
+
+        h = hashlib.blake2b(digest_size=16)
+        h.update(np.int64(g.num_nodes).tobytes())
+        for a in (senders, receivers, edge_mask):
+            h.update(np.ascontiguousarray(a).tobytes())
+        key = (self.partition_reorder, h.hexdigest())
+        perm = self._reorder_cache.get(key)
+        if perm is None:
+            perm = locality_permutation(
+                senders,
+                receivers,
+                g.num_nodes,
+                edge_mask=edge_mask,
+                pos=np.asarray(g.pos),
+                method=self.partition_reorder,
+            )
+            self._reorder_cache[key] = perm
         return permute_graph_np(g, perm), perm
 
     def _partition_graph(self, g: Graph) -> Graph:
@@ -511,6 +545,8 @@ class Trainer:
                         f"chunk budget {mc}"
                     )
                 part = part.replace(csr_max_chunks=mc)
+            if halo and self.halo_dtype is not None:
+                part = part.replace(halo_dtype=self.halo_dtype)
             return part
         except ValueError as e:
             raise ValueError(
@@ -980,6 +1016,8 @@ class Trainer:
             frames, self.graph_partition, halo=self.partition_mode == "halo",
             csr=csr,
         )
+        if self.partition_mode == "halo" and self.halo_dtype is not None:
+            parts = parts.replace(halo_dtype=self.halo_dtype)
         spec = P(None, GRAPH_AXIS)
         sharding = NamedSharding(self.mesh, spec)
         parts = jax.tree_util.tree_map(
@@ -1106,12 +1144,18 @@ class Trainer:
             # the plot callback already ran on the host owning trajectory 0)
             from jax.experimental import multihost_utils
 
-            stats = multihost_utils.process_allgather(
-                np.asarray(
-                    [total_se, total_cnt, vloss_sum, float(vloss_cnt)],
-                    np.float64,
-                )
-            ).sum(axis=0)
+            # gather the f64 stats LOSSLESSLY: process_allgather would
+            # silently downcast float64 -> float32 with x64 off (precision
+            # loss once counts exceed 2^24), so ship the raw bits as uint32
+            # pairs and reduce in numpy f64 on the host
+            local = np.asarray(
+                [total_se, total_cnt, vloss_sum, float(vloss_cnt)],
+                np.float64,
+            )
+            gathered_bits = np.asarray(
+                multihost_utils.process_allgather(local.view(np.uint32))
+            )
+            stats = gathered_bits.view(np.float64).sum(axis=0)
             total_se, total_cnt, vloss_sum = stats[0], stats[1], stats[2]
             vloss_cnt = int(stats[3])
         # epoch-mean val_loss (None for GMM heads, as in the reference)

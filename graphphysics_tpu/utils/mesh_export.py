@@ -9,10 +9,10 @@ into one XDMF + HDF5 pair (via ``utils.xdmf``).
 ``read_vtu`` covers the VTK XML variants real tools emit (ingestion breadth
 parity with the reference's meshio reader, ``xdmf_dataset.py:94-112``):
 ASCII, inline base64 binary, zlib-compressed binary
-(``vtkZLibDataCompressor``), and base64-encoded ``<AppendedData>`` — with
-``UInt32``/``UInt64`` header types and all numeric ``DataArray`` dtypes.
-(Raw — non-base64 — appended data is not well-formed XML and is the one
-flavor not handled.)
+(``vtkZLibDataCompressor``), base64-encoded ``<AppendedData>``, and RAW
+``<AppendedData encoding="raw">`` (the blob is excised byte-wise before XML
+parsing — see ``_parse_vtu_bytes``) — with ``UInt32``/``UInt64`` header
+types and all numeric ``DataArray`` dtypes.
 """
 
 from __future__ import annotations
@@ -74,23 +74,51 @@ def _decode_block(text: str, header_dtype: np.dtype, compressed: bool) -> bytes:
     return b"".join(out)
 
 
+_RAW_APPENDED_RE = None  # compiled lazily (module import stays cheap)
+
+
+def _parse_vtu_bytes(data: bytes) -> Tuple[ET.Element, Optional[bytes]]:
+    """Parse VTU file bytes, handling ``<AppendedData encoding="raw">``:
+    raw appended bytes are NOT XML (the reference ingests them via meshio,
+    ``xdmf_dataset.py:94-112``), so the blob between the ``_`` marker and
+    the closing tag is excised byte-wise and returned alongside the parsed
+    XML of the remainder. Base64/inline files parse directly."""
+    global _RAW_APPENDED_RE
+    if _RAW_APPENDED_RE is None:
+        import re
+
+        _RAW_APPENDED_RE = re.compile(
+            rb'<AppendedData[^>]*encoding\s*=\s*"raw"', re.S
+        )
+    m = _RAW_APPENDED_RE.search(data)
+    if m is None:
+        return ET.fromstring(data), None
+    us = data.index(b"_", data.index(b">", m.start()))
+    end = data.rindex(b"</AppendedData>")
+    blob = data[us + 1 : end]
+    # VTK writers pad the blob with a trailing newline/indent before the
+    # closing tag; DataArray offsets address from the byte after "_"
+    root = ET.fromstring(data[: us + 1] + data[end:])
+    return root, blob
+
+
 class _VtuDecoder:
     """Stateful decoder for one VTKFile: header type, compressor, and the
     appended-data blob (when present)."""
 
-    def __init__(self, root: ET.Element):
+    def __init__(self, root: ET.Element, raw_appended: Optional[bytes] = None):
         self.header_dtype = _DTYPES[root.get("header_type", "UInt32")]
         comp = root.get("compressor")
         if comp not in (None, "", "vtkZLibDataCompressor"):
             raise ValueError(f"unsupported VTU compressor {comp!r}")
         self.compressed = comp == "vtkZLibDataCompressor"
-        self.appended = None
+        self.appended = raw_appended
         app = root.find("AppendedData")
-        if app is not None:
+        if app is not None and raw_appended is None:
             if app.get("encoding", "base64") != "base64":
                 raise ValueError(
-                    "raw (non-base64) AppendedData is not XML-parseable; "
-                    "re-export with base64 or inline encoding"
+                    "raw AppendedData reaches the decoder via "
+                    "_parse_vtu_bytes; string-parsed XML cannot carry it"
                 )
             text = "".join((app.text or "").split())
             # meshio convention: ONE base64 stream for the whole appended
@@ -251,11 +279,12 @@ def write_vtu(
 
 def read_vtu(path: str):
     """Read a VTU in any of the VTK XML flavors (ASCII / inline base64
-    binary / zlib-compressed / base64 AppendedData); returns
-    ``(points [N,3], cells [C,k], point_data)``. Requires a homogeneous
-    triangle or tetra mesh (the framework's cell types)."""
-    root = ET.parse(path).getroot()
-    dec = _VtuDecoder(root)
+    binary / zlib-compressed / base64 AppendedData / RAW AppendedData);
+    returns ``(points [N,3], cells [C,k], point_data)``. Requires a
+    homogeneous triangle or tetra mesh (the framework's cell types)."""
+    with open(path, "rb") as f:
+        root, raw_blob = _parse_vtu_bytes(f.read())
+    dec = _VtuDecoder(root, raw_blob)
     piece = root.find("UnstructuredGrid/Piece")
     pts = dec.read(piece.find("Points/DataArray")).astype(np.float64)
     pts = pts.reshape(-1, 3)

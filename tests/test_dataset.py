@@ -272,22 +272,23 @@ def test_loader_multiprocess_workers(cylinder):
         np.testing.assert_array_equal(a.senders, b.senders)
 
 
-def test_worker_init_resets_inherited_h5_handle(cylinder):
-    """Fork inherits the parent's open h5 handle (initargs are not pickled,
-    so __getstate__ never runs): _init_worker must drop it so each worker
-    reopens its own file description."""
-    from graphphysics_tpu.dataset.loader import _init_worker
+def test_worker_pickle_drops_h5_handle(cylinder):
+    """Spawn workers receive the dataset by pickling: __getstate__ must drop
+    the open h5 handle + trajectory cache so each worker process reopens its
+    own file description (HDF5 handles cannot be shared across processes)."""
+    import pickle
 
     h5_path, meta_path = cylinder
     ds = H5Dataset(
         h5_path=h5_path, meta_path=meta_path, preprocessing=_cyl_preproc(),
         node_type_index=2,
     )
-    _ = ds[0]  # opens the handle + fills the trajectory cache in the parent
+    ref = ds[0]  # opens the handle + fills the trajectory cache in the parent
     assert ds._file is not None
-    _init_worker(ds)
-    assert ds._file is None and len(ds._traj_cache) == 0
-    _ = ds[0]  # worker-side access reopens cleanly
+    worker_ds = pickle.loads(pickle.dumps(ds))
+    assert worker_ds._file is None and len(worker_ds._traj_cache) == 0
+    item = worker_ds[0]  # worker-side access reopens cleanly
+    np.testing.assert_allclose(item.x, ref.x)
 
 
 def test_mixed_size_budget_scan(tmp_path):

