@@ -488,7 +488,7 @@ def test_canonical_sample_reused_and_released(tmp_path):
     """Startup must not build item 0 twice (the triggering item IS the
     canonical sample), and the cached RawSample must be released once every
     lazy budget has materialized — it pins tens of MB at large-mesh scale
-    and is pickled into every forked worker."""
+    and is pickled into every spawned worker."""
     from tests.fixtures import write_cylinder_h5
     from graphphysics_tpu.dataset.h5_dataset import H5Dataset
 
@@ -524,3 +524,52 @@ def test_canonical_sample_pins_epoch(aneurysm):
     assert ds5._epoch == 5  # epoch restored after the pinned build
     np.testing.assert_array_equal(canon0.x, canon5.x)
     assert canon0.target_dt == canon5.target_dt
+
+
+class _BoomDataset:
+    """Module-level: spawn pickles the dataset into workers."""
+
+    def __getitem__(self, i):
+        if i == 1:
+            raise ValueError("boom at 1")
+        return np.zeros(3)
+
+
+class _SlowDataset:
+    def __getitem__(self, i):
+        import time
+
+        time.sleep(0.2)
+        return i
+
+
+def test_spawn_pool_propagates_worker_exception():
+    """An exception inside a worker's __getitem__ must surface in the
+    parent (not hang the epoch): the pool relays the exception object."""
+    from graphphysics_tpu.dataset.loader import _SpawnWorkerPool
+
+    pool = _SpawnWorkerPool(_BoomDataset(), num_workers=2)
+    with pool:
+        t0 = pool.submit(0)
+        t1 = pool.submit(1)
+        np.testing.assert_array_equal(t0.result(), np.zeros(3))
+        with pytest.raises(ValueError, match="boom at 1"):
+            t1.result()
+
+
+def test_spawn_pool_shutdown_cancels_pending():
+    """shutdown(cancel_futures=True) drains queued tasks and joins workers
+    (the producer-thread abandon path must release the pool promptly)."""
+    import time
+
+    from graphphysics_tpu.dataset.loader import _SpawnWorkerPool
+
+    pool = _SpawnWorkerPool(_SlowDataset(), num_workers=1)
+    first = pool.submit(0)
+    for i in range(20):
+        pool.submit(i + 1)
+    assert first.result() == 0
+    t0 = time.time()
+    pool.shutdown(wait=True, cancel_futures=True)
+    assert time.time() - t0 < 15  # not 20 x 0.2s of queued work
+    assert all(not p.is_alive() for p in pool._procs)
