@@ -10,14 +10,14 @@ numbers that matter when deciding whether training is input-bound:
 
 Prints one JSON line per configuration.
 
-Reading the numbers: on tiny synthetic meshes the per-item cost is
-microseconds, so the prefetch thread and worker processes measure SLOWER
-than plain in-line fetching (queue/IPC overhead dominates — observed
-854 batches/s inline vs 107 with 2 workers at the default size). The
-workers/prefetch knobs pay off when items are expensive — large meshes,
-k-hop expansion, world-edge kd-trees — i.e. exactly when the device step
-would otherwise starve; raise --grid/--traj to model your real pipeline
-before drawing conclusions.
+Reading the numbers: the loader's spawn worker pool PERSISTS across
+epochs (startup ~1-2 s/worker paid once; 2026-08-21: a per-epoch pool
+measured 1.8 batches/s on the default size vs 316 persistent — and 277
+inline, so workers win even on cheap items once startup amortizes). The
+workers/prefetch knobs matter most when items are expensive — large
+meshes, k-hop expansion, world-edge kd-trees — i.e. exactly when the
+device step would otherwise starve; raise --grid/--traj to model your
+real pipeline before drawing conclusions.
 """
 
 from __future__ import annotations

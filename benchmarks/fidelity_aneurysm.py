@@ -40,6 +40,12 @@ def main():
                         "kernel — end-to-end convergence via the kernel")
     p.add_argument("--gmm", action="store_true",
                    help="GMM K=3 head + NLL loss (c-a-gmm.json family)")
+    p.add_argument("--graph_partition", type=int, default=0,
+                   help="train edge-partitioned over a P-device graph mesh "
+                        "(halo exchange) — the end-to-end convergence check "
+                        "for the partitioned trainer")
+    p.add_argument("--halo_dtype", default=None, choices=["bf16", "f16"],
+                   help="16-bit halo wire (with --graph_partition)")
     p.add_argument("--workdir", default=None)
     args = p.parse_args()
 
@@ -151,6 +157,8 @@ def main():
         metrics_path=os.path.join(workdir, "metrics.csv"),
         rollout_dir=None,
         log_every=50,
+        graph_partition=args.graph_partition,
+        halo_dtype=args.halo_dtype,
     )
 
     # context baseline: velocity frozen at each trajectory's first frame,
@@ -168,6 +176,8 @@ def main():
         "epochs": args.epochs,
         "minutes": round(minutes, 1),
         "gmm": bool(args.gmm),
+        "graph_partition": args.graph_partition,
+        "halo_dtype": args.halo_dtype,
         "workdir": workdir,
     }
     print(json.dumps(out, indent=2))

@@ -12,6 +12,7 @@ import contextlib
 import os
 import threading
 import queue as queue_mod
+import weakref
 from typing import Iterator, Optional
 
 import numpy as np
@@ -48,6 +49,8 @@ class GraphLoader:
         self._epoch = 0
         self._start_batch = 0
         self._bucket_ids_cache: Optional[np.ndarray] = None
+        self._pool: Optional["_SpawnWorkerPool"] = None
+        self._pool_finalizer = None
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
@@ -163,7 +166,14 @@ class GraphLoader:
         if lazy:
             ds[int(order[0])]
 
-    def _make_pool(self, order):
+    def _ensure_pool(self, order):
+        """The worker pool PERSISTS across epochs: spawn startup costs
+        ~1-2 s per worker (fresh interpreter + imports), which a per-epoch
+        pool would pay every epoch. Workers receive the current epoch with
+        every task (the one piece of parent-side dataset state that mutates
+        between epochs), so their pickled dataset copies stay in sync."""
+        if self._pool is not None:
+            return self._pool
         self._materialize_static_shapes(order)
         # spawn, never fork: the parent is a multithreaded JAX process, and
         # fork() under live threads is a documented deadlock (the reference
@@ -172,7 +182,19 @@ class GraphLoader:
         # sanitized environment (_worker_env) — Python 3.12's
         # ProcessPoolExecutor spawns lazily per submit, which would let
         # workers inherit whatever the env looks like mid-epoch.
-        return _SpawnWorkerPool(self.dataset, self.num_workers)
+        self._pool = _SpawnWorkerPool(self.dataset, self.num_workers)
+        self._pool_finalizer = weakref.finalize(
+            self, _shutdown_pool, self._pool
+        )
+        return self._pool
+
+    def close(self) -> None:
+        """Shut down the persistent worker pool (idempotent). Also runs at
+        loader garbage collection; daemon workers die with the parent
+        regardless."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=True, cancel_futures=True)
+            self._pool = None
 
     def _batches_multiprocess(self, chunks, pool, start=0) -> Iterator[Graph]:
         """Worker PROCESSES build items in parallel (the role of the
@@ -182,11 +204,14 @@ class GraphLoader:
         ahead and yielded in order."""
         window = max(self.prefetch, 1) + 1
         n = len(chunks)
-        with pool:
-            pending = {}
+        epoch = self._epoch
+        pending = {}
+        try:
 
             def submit(b):
-                pending[b] = [pool.submit(int(i)) for i in chunks[b]]
+                pending[b] = [
+                    pool.submit(int(i), epoch) for i in chunks[b]
+                ]
 
             for b in range(start, min(start + window, n)):
                 submit(b)
@@ -195,14 +220,19 @@ class GraphLoader:
                 if b + window < n:
                     submit(b + window)
                 yield self._collate(graphs)
+        finally:
+            # abandoned mid-epoch: drop queued/in-flight work but KEEP the
+            # workers alive for the next epoch
+            pool.cancel_pending()
 
     def __iter__(self) -> Iterator[Graph]:
         chunks = self._batch_chunks()  # computed once per epoch
-        # worker pool (if any) is created in the MAIN thread, pre-fork-safe
+        # the persistent worker pool (if any) is created in the MAIN thread
+        # (not the prefetch thread) on first use
         pool = None
         if self.num_workers > 0:
             first = chunks[0] if chunks else self._order()[:1]
-            pool = self._make_pool(first)
+            pool = self._ensure_pool(first)
         if self.prefetch <= 0:
             yield from self._batches(pool, chunks)
             return
@@ -228,8 +258,6 @@ class GraphLoader:
             except BaseException as e:  # propagate to consumer
                 error.append(e)
             finally:
-                if pool is not None:
-                    pool.shutdown(wait=False, cancel_futures=True)
                 # deliver the sentinel even when the queue is full (dropping
                 # it would leave the consumer blocked on q.get after draining)
                 while not stop.is_set():
@@ -354,11 +382,19 @@ def _worker_main(dataset, tasks, results):
     reset = getattr(dataset, "reset_process_state", None)
     if reset is not None:
         reset()
+    last_epoch = None
     while True:
         task = tasks.get()
         if task is None:
             return
-        tid, index = task
+        tid, index, epoch = task
+        if epoch != last_epoch:
+            # the pool persists across epochs; the parent's set_epoch never
+            # reaches the pickled copy, so each task carries the epoch
+            set_epoch = getattr(dataset, "set_epoch", None)
+            if set_epoch is not None:
+                set_epoch(epoch)
+            last_epoch = epoch
         try:
             results.put((tid, True, dataset[index]))
         except BaseException as e:  # noqa: BLE001 — relayed to the parent
@@ -370,6 +406,15 @@ def _worker_main(dataset, tasks, results):
                 results.put(
                     (tid, False, RuntimeError(traceback.format_exc()))
                 )
+
+
+def _shutdown_pool(pool):
+    """weakref.finalize target: must be a module-level function (bound
+    methods keep the loader alive)."""
+    try:
+        pool.shutdown(wait=False, cancel_futures=True)
+    except Exception:
+        pass
 
 
 class _PoolTask:
@@ -405,6 +450,7 @@ class _SpawnWorkerPool:
         self._done: dict = {}
         self._next_tid = 0
         self._pending: set = set()
+        self._cancelled: set = set()
         self._shutdown = False
         with _worker_env():
             self._procs = [
@@ -418,11 +464,11 @@ class _SpawnWorkerPool:
             for p in self._procs:
                 p.start()
 
-    def submit(self, index: int) -> _PoolTask:
+    def submit(self, index: int, epoch: int = 0) -> _PoolTask:
         tid = self._next_tid
         self._next_tid += 1
         self._pending.add(tid)
-        self._tasks.put((tid, int(index)))
+        self._tasks.put((tid, int(index), int(epoch)))
         return _PoolTask(self, tid)
 
     def _result_for(self, tid: int):
@@ -435,12 +481,30 @@ class _SpawnWorkerPool:
                         "all loader workers exited with results pending"
                     ) from None
                 continue
+            if rtid in self._cancelled:  # stale result of an abandoned epoch
+                self._cancelled.discard(rtid)
+                continue
             self._pending.discard(rtid)
             self._done[rtid] = (ok, payload)
         ok, payload = self._done.pop(tid)
         if not ok:
             raise payload
         return payload
+
+    def cancel_pending(self) -> None:
+        """Drop queued tasks and forget in-flight ones WITHOUT stopping the
+        workers — the abandoned-epoch path of a persistent pool. In-flight
+        results that later arrive are discarded by _result_for."""
+        while True:
+            try:
+                task = self._tasks.get_nowait()
+            except queue_mod.Empty:
+                break
+            if task is not None:
+                self._pending.discard(task[0])
+        self._cancelled.update(self._pending)
+        self._pending.clear()
+        self._done.clear()
 
     def shutdown(self, wait: bool = True, cancel_futures: bool = False):
         if self._shutdown:

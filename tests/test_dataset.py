@@ -573,3 +573,64 @@ def test_spawn_pool_shutdown_cancels_pending():
     pool.shutdown(wait=True, cancel_futures=True)
     assert time.time() - t0 < 15  # not 20 x 0.2s of queued work
     assert all(not p.is_alive() for p in pool._procs)
+
+
+def test_multiworker_pool_persists_and_tracks_epochs(cylinder):
+    """The spawn pool must persist across epochs (startup is ~seconds) AND
+    its workers must follow set_epoch — per-epoch noise draws in worker
+    batches must equal the in-process loader's for every epoch."""
+    h5_path, meta_path = cylinder
+    ds_ref = H5Dataset(
+        h5_path=h5_path, meta_path=meta_path, preprocessing=_cyl_preproc(0.1),
+        node_type_index=2,
+    )
+    ref_loader = GraphLoader(ds_ref, batch_size=4, shuffle=True, seed=3,
+                             prefetch=0)
+    ds_w = H5Dataset(
+        h5_path=h5_path, meta_path=meta_path, preprocessing=_cyl_preproc(0.1),
+        node_type_index=2,
+    )
+    ds_w.node_budget, ds_w.edge_budget = ds_ref.node_budget, ds_ref.edge_budget
+    w_loader = GraphLoader(ds_w, batch_size=4, shuffle=True, seed=3,
+                           prefetch=1, num_workers=2)
+    try:
+        for epoch in (0, 1, 2):
+            ref_loader.set_epoch(epoch)
+            w_loader.set_epoch(epoch)
+            ref_batches = list(ref_loader)
+            w_batches = list(w_loader)
+            assert len(ref_batches) == len(w_batches)
+            for a, b in zip(ref_batches, w_batches):
+                np.testing.assert_array_equal(a.x, b.x)
+            if epoch == 0:
+                pool0 = w_loader._pool
+                assert pool0 is not None
+            else:
+                assert w_loader._pool is pool0  # persisted, not rebuilt
+    finally:
+        w_loader.close()
+    assert w_loader._pool is None
+
+
+def test_multiworker_abandoned_epoch_keeps_pool_alive(cylinder):
+    """Breaking out of a multi-worker epoch mid-way must cancel pending work
+    but keep the workers for the next epoch, which must still be correct."""
+    h5_path, meta_path = cylinder
+    ds = H5Dataset(
+        h5_path=h5_path, meta_path=meta_path, preprocessing=_cyl_preproc(),
+        node_type_index=2,
+    )
+    loader = GraphLoader(ds, batch_size=2, shuffle=True, seed=1, prefetch=2,
+                         num_workers=2)
+    try:
+        it = iter(loader)
+        next(it)
+        it.close()  # abandon mid-epoch
+        full = list(loader)  # same pool, fresh epoch pass
+        ref = list(GraphLoader(ds, batch_size=2, shuffle=True, seed=1,
+                               prefetch=0))
+        assert len(full) == len(ref)
+        for a, b in zip(full, ref):
+            np.testing.assert_array_equal(a.x, b.x)
+    finally:
+        loader.close()

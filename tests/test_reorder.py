@@ -214,3 +214,52 @@ def test_reorder_fit_and_validation_match(tmp_path):
         got["train_loss"], ref["train_loss"], rtol=5e-3
     )
     np.testing.assert_allclose(got["val_rmse"], ref["val_rmse"], rtol=1e-3)
+
+
+def test_halo_volume_rejects_indivisible_parts():
+    """num_nodes % num_parts != 0 must raise (matching partition_graph_np)
+    instead of silently dropping out-of-range receivers from the proxy."""
+    import pytest
+
+    from graphphysics_tpu.parallel.reorder import halo_volume
+
+    g = _grid_mesh_shuffled(6, 5, shuffle=False)  # 30 nodes
+    with pytest.raises(ValueError, match="divisible"):
+        halo_volume(g, 4)
+
+
+def test_trainer_reorder_permutation_cached_per_topology():
+    """The scipy reorder solve must run once per distinct edge topology,
+    not once per batch (it sits on the host critical path)."""
+    import graphphysics_tpu.parallel.reorder as reorder_mod
+    from graphphysics_tpu.training.trainer import Trainer
+
+    g = _grid_mesh_shuffled(8, 8, shuffle=False)
+    param = {"model": {"type": "epd", "message_passing_num": 1,
+                       "hidden_size": 8, "node_input_size": 11,
+                       "edge_input_size": 3, "output_size": 2},
+             "index": {"feature_index_start": 0, "feature_index_end": 2,
+                       "node_type_index": 2, "output_index_start": 0,
+                       "output_index_end": 2}}
+    tr = Trainer(param, graph_partition=2, partition_reorder="rcm",
+                 checkpoint_dir="/tmp/_reorder_cache_ckpt", metrics_path=None,
+                 rollout_dir=None)
+    calls = []
+    orig = reorder_mod.locality_permutation
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    reorder_mod.locality_permutation = counting
+    try:
+        g1, p1 = tr._maybe_reorder(g)
+        g2, p2 = tr._maybe_reorder(g)  # same topology -> cache hit
+        assert len(calls) == 1
+        np.testing.assert_array_equal(p1, p2)
+        # different topology -> recompute
+        g_other = _grid_mesh_shuffled(10, 10, shuffle=False)
+        tr._maybe_reorder(g_other)
+        assert len(calls) == 2
+    finally:
+        reorder_mod.locality_permutation = orig
