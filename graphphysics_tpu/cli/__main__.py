@@ -18,6 +18,10 @@ def main(argv=None) -> int:
         from graphphysics_tpu.cli.doctor import main as doctor_main
 
         return doctor_main(argv[1:])
+    if argv and argv[0] == "export":
+        from graphphysics_tpu.cli.export import main as export_main
+
+        return export_main(argv[1:])
     if argv and argv[0] == "train":
         argv = argv[1:]
     from graphphysics_tpu.cli.train import main as train_main

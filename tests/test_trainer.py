@@ -774,3 +774,61 @@ def test_load_checkpoint_with_metadata_single_parse(tmp_path):
     _os.remove(ckpt + ".meta.json")
     _, meta3 = load_checkpoint_with_metadata(ckpt, state)
     assert meta3 == {}
+
+
+def test_cli_export_produces_loadable_artifacts(cylinder_env, tmp_path,
+                                                monkeypatch):
+    """grph export: checkpoint -> StableHLO artifacts; the eval artifact
+    must reproduce the live eval forward on the val dataset's first frame."""
+    tmp, param = cylinder_env
+    cfg_path = tmp_path / "cfg.json"
+    with open(cfg_path, "w") as f:
+        json.dump(param, f)
+    monkeypatch.chdir(tmp_path)
+    from graphphysics_tpu.cli.train import main as train_main
+
+    rc = train_main([
+        "--training_parameters_path", str(cfg_path),
+        "--num_epochs", "1",
+        "--batch_size", "2",
+        "--warmup", "2",
+        "--val_trajectories", "1",
+    ])
+    assert rc == 0
+    ckpt = tmp_path / "checkpoints" / "state.msgpack"
+
+    from graphphysics_tpu.cli.export import main as export_main
+
+    rc = export_main([
+        "--training_parameters_path", str(cfg_path),
+        "--model_path", str(ckpt),
+        "--output_dir", str(tmp_path / "exported"),
+        "--rollout",
+    ])
+    assert rc == 0
+    eval_path = tmp_path / "exported" / "eval_step.stablehlo"
+    roll_path = tmp_path / "exported" / "rollout.stablehlo"
+    assert eval_path.exists() and roll_path.exists()
+
+    # the artifact must match the live forward
+    from graphphysics_tpu.training.checkpoint import load_checkpoint
+    from graphphysics_tpu.utils.export import load_eval_step_file
+
+    val_pre = get_preprocessing(param, remove_noise=True)
+    ds = get_dataset(param, val_pre, switch_to_val=True)
+    trainer = Trainer(param)
+    g = ds[0]
+    trainer.init_state(g, num_steps=1)
+    trainer.state = load_checkpoint(str(ckpt), trainer.state)
+    variables = {
+        "params": trainer.state["params"],
+        "normalizer": trainer.state["normalizer"],
+    }
+    import jax
+
+    gj = jax.tree_util.tree_map(np.asarray, g)
+    _, _, live = trainer.sim.apply(variables, gj, is_training=False)
+    step = load_eval_step_file(str(eval_path))
+    aot = step(gj)
+    np.testing.assert_allclose(np.asarray(aot), np.asarray(live),
+                               rtol=1e-5, atol=1e-6)
