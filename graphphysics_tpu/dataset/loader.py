@@ -279,8 +279,11 @@ class GraphLoader:
                 yield item
         finally:
             # consumer abandoned mid-epoch (exception / break): unblock and
-            # stop the producer so the worker pool is released
+            # stop the producer, and JOIN it — its epoch-teardown
+            # cancel_pending() must not race a subsequent iteration's
+            # submissions on the persistent pool (it would cancel them)
             stop.set()
+            t.join(timeout=60.0)
 
 
 def compute_batch_chunks(
@@ -476,9 +479,20 @@ class _SpawnWorkerPool:
             try:
                 rtid, ok, payload = self._results.get(timeout=1.0)
             except queue_mod.Empty:
-                if not any(p.is_alive() for p in self._procs):
+                # torch-DataLoader semantics: a worker NEVER exits on its
+                # own mid-epoch (only shutdown sends sentinels), so any
+                # dead process means its in-flight task would hang this
+                # wait forever — fail fast with the exit code.
+                dead = [
+                    p for p in self._procs if not p.is_alive()
+                ] if not self._shutdown else []
+                if dead:
+                    codes = [p.exitcode for p in dead]
                     raise RuntimeError(
-                        "all loader workers exited with results pending"
+                        f"{len(dead)} loader worker(s) died unexpectedly "
+                        f"(exit codes {codes}) with results pending — "
+                        f"commonly an OOM kill; lower num_workers or the "
+                        f"dataset's per-item memory"
                     ) from None
                 continue
             if rtid in self._cancelled:  # stale result of an abandoned epoch

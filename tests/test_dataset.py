@@ -634,3 +634,25 @@ def test_multiworker_abandoned_epoch_keeps_pool_alive(cylinder):
             np.testing.assert_array_equal(a.x, b.x)
     finally:
         loader.close()
+
+
+def test_spawn_pool_detects_dead_worker():
+    """A worker killed mid-task (OOM-killer analog) must fail the waiting
+    result() promptly with a diagnostic, not hang the epoch forever."""
+    import time
+
+    from graphphysics_tpu.dataset.loader import _SpawnWorkerPool
+
+    pool = _SpawnWorkerPool(_SlowDataset(), num_workers=1)
+    try:
+        t = pool.submit(0)
+        assert t.result() == 0  # worker is up and serving
+        t2 = pool.submit(1)
+        time.sleep(0.05)  # let the worker pick the task up
+        pool._procs[0].terminate()
+        t0 = time.time()
+        with pytest.raises(RuntimeError, match="died unexpectedly"):
+            t2.result()
+        assert time.time() - t0 < 10
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
