@@ -332,6 +332,8 @@ def main():
         )
     else:
         out["vs_baseline"] = round(vs_raw, 4)
+        if csr_over_coo is not None:  # the leg ran; don't discard it
+            out["csr_over_coo_step"] = csr_over_coo
 
     print(json.dumps(out))
 

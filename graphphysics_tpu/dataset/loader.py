@@ -205,12 +205,13 @@ class GraphLoader:
         window = max(self.prefetch, 1) + 1
         n = len(chunks)
         epoch = self._epoch
+        gen = pool.begin_epoch()
         pending = {}
         try:
 
             def submit(b):
                 pending[b] = [
-                    pool.submit(int(i), epoch) for i in chunks[b]
+                    pool.submit(int(i), epoch, gen) for i in chunks[b]
                 ]
 
             for b in range(start, min(start + window, n)):
@@ -221,9 +222,10 @@ class GraphLoader:
                     submit(b + window)
                 yield self._collate(graphs)
         finally:
-            # abandoned mid-epoch: drop queued/in-flight work but KEEP the
-            # workers alive for the next epoch
-            pool.cancel_pending()
+            # abandoned mid-epoch: drop THIS generation's queued/in-flight
+            # work but KEEP the workers alive for the next epoch (the gen
+            # token keeps a straggling teardown from touching newer epochs)
+            pool.cancel_pending(gen)
 
     def __iter__(self) -> Iterator[Graph]:
         chunks = self._batch_chunks()  # computed once per epoch
@@ -401,9 +403,15 @@ def _worker_main(dataset, tasks, results):
         try:
             results.put((tid, True, dataset[index]))
         except BaseException as e:  # noqa: BLE001 — relayed to the parent
+            import pickle
             import traceback
 
+            # mp.Queue serializes in its FEEDER thread, so put() itself
+            # never raises on an unpicklable payload — it would be dropped
+            # later and the parent would wait forever. Pre-check the
+            # exception and fall back to a traceback-string error.
             try:
+                pickle.dumps(e)
                 results.put((tid, False, e))
             except Exception:
                 results.put(
@@ -442,6 +450,14 @@ class _SpawnWorkerPool:
     overlapped across workers and amortized over the epoch). User __main__
     scripts must be guarded with ``if __name__ == "__main__":`` as with any
     spawn-based multiprocessing.
+
+    Concurrent iterators over one loader share this pool: submissions are
+    tagged with a per-epoch generation so one iterator's teardown only
+    cancels its own work, and result draining is safe under the GIL (each
+    waiter re-checks ``_done`` after any thread stores into it). Items must
+    pickle (numpy-array Graphs do); a worker whose ITEM payload fails to
+    pickle is dropped by the mp.Queue feeder — keep custom per-item payloads
+    picklable.
     """
 
     def __init__(self, dataset, num_workers: int):
@@ -454,6 +470,8 @@ class _SpawnWorkerPool:
         self._next_tid = 0
         self._pending: set = set()
         self._cancelled: set = set()
+        self._tid_gen: dict = {}
+        self._gen = 0
         self._shutdown = False
         with _worker_env():
             self._procs = [
@@ -467,15 +485,29 @@ class _SpawnWorkerPool:
             for p in self._procs:
                 p.start()
 
-    def submit(self, index: int, epoch: int = 0) -> _PoolTask:
+    def begin_epoch(self) -> int:
+        """Start a submission generation; pass the token to cancel_pending
+        so a straggling teardown can only cancel ITS OWN epoch's work."""
+        self._gen += 1
+        return self._gen
+
+    def submit(self, index: int, epoch: int = 0,
+               gen: Optional[int] = None) -> _PoolTask:
         tid = self._next_tid
         self._next_tid += 1
         self._pending.add(tid)
+        # tag with the SUBMITTER's generation: a straggling old producer
+        # must not label its tasks with a newer iterator's gen
+        self._tid_gen[tid] = self._gen if gen is None else gen
         self._tasks.put((tid, int(index), int(epoch)))
         return _PoolTask(self, tid)
 
     def _result_for(self, tid: int):
         while tid not in self._done:
+            if self._shutdown:
+                raise RuntimeError(
+                    "worker pool was shut down with results pending"
+                )
             try:
                 rtid, ok, payload = self._results.get(timeout=1.0)
             except queue_mod.Empty:
@@ -497,28 +529,52 @@ class _SpawnWorkerPool:
                 continue
             if rtid in self._cancelled:  # stale result of an abandoned epoch
                 self._cancelled.discard(rtid)
+                self._tid_gen.pop(rtid, None)
                 continue
             self._pending.discard(rtid)
             self._done[rtid] = (ok, payload)
         ok, payload = self._done.pop(tid)
+        self._tid_gen.pop(tid, None)
         if not ok:
             raise payload
         return payload
 
-    def cancel_pending(self) -> None:
+    def cancel_pending(self, gen: Optional[int] = None) -> None:
         """Drop queued tasks and forget in-flight ones WITHOUT stopping the
         workers — the abandoned-epoch path of a persistent pool. In-flight
-        results that later arrive are discarded by _result_for."""
+        results that later arrive are discarded by _result_for.
+
+        ``gen`` (from ``begin_epoch``) restricts the cancellation to that
+        submission generation: a teardown firing LATE (its producer thread
+        outlived the 60 s abandon join on a slow item) must not cancel a
+        newer epoch's submissions. ``None`` cancels everything (shutdown).
+        """
+
+        def mine(tid):
+            return gen is None or self._tid_gen.get(tid) == gen
+
+        requeue = []
         while True:
             try:
                 task = self._tasks.get_nowait()
             except queue_mod.Empty:
                 break
-            if task is not None:
+            if task is None:
+                continue
+            if mine(task[0]):
                 self._pending.discard(task[0])
-        self._cancelled.update(self._pending)
-        self._pending.clear()
-        self._done.clear()
+                self._tid_gen.pop(task[0], None)
+            else:
+                requeue.append(task)
+        for task in requeue:  # another generation's queued work survives
+            self._tasks.put(task)
+        in_flight = {t for t in self._pending if mine(t)}
+        self._cancelled.update(in_flight)
+        self._pending.difference_update(in_flight)
+        for t in list(self._done):
+            if mine(t):
+                del self._done[t]
+                self._tid_gen.pop(t, None)
 
     def shutdown(self, wait: bool = True, cancel_futures: bool = False):
         if self._shutdown:

@@ -37,6 +37,12 @@ from graphphysics_tpu.utils.metrics import CSVMetricsLogger
 from graphphysics_tpu.utils.xdmf import XdmfTimeSeriesWriter
 
 
+# reorder-permutation cache bound: each entry is an O(N) int array, and
+# shuffled multi-trajectory batches produce a fresh edge-list digest per
+# batch composition — without a cap the cache grows for the whole run
+_REORDER_CACHE_MAX = 32
+
+
 class Trainer:
     def __init__(
         self,
@@ -137,6 +143,13 @@ class Trainer:
             raise ValueError(
                 f"unknown halo_dtype {halo_dtype!r} (bf16 | f16 | None)"
             )
+        if halo_dtype is not None and partition_mode != "halo":
+            # the gather path ships the full node table; silently ignoring
+            # the knob would let users believe their comms were halved
+            raise ValueError(
+                'halo_dtype requires partition_mode="halo" (the gather '
+                "mode's all_gather has no 16-bit wire path)"
+            )
         self.halo_dtype = halo_dtype
         if self.graph_partition and gradient_accumulation:
             raise ValueError(
@@ -156,8 +169,12 @@ class Trainer:
         # train-step use without a loader
         self._part_budgets = {}
         # locality-reorder permutations keyed by (method, edge-list digest):
-        # static mesh topology -> one scipy solve, not one per batch
-        self._reorder_cache = {}
+        # static mesh topology -> one scipy solve, not one per batch.
+        # LRU-capped: shuffled multi-trajectory batches give a fresh digest
+        # per batch composition (each entry is an O(N) perm array)
+        from collections import OrderedDict
+
+        self._reorder_cache = OrderedDict()
         # partitioned_validation=True runs validation rollouts edge-
         # partitioned over the training graph mesh too (for meshes whose
         # EVAL forward doesn't fit one chip); trajectories go sequentially,
@@ -504,6 +521,10 @@ class Trainer:
                 method=self.partition_reorder,
             )
             self._reorder_cache[key] = perm
+            while len(self._reorder_cache) > _REORDER_CACHE_MAX:
+                self._reorder_cache.popitem(last=False)
+        else:
+            self._reorder_cache.move_to_end(key)
         return permute_graph_np(g, perm), perm
 
     def _partition_graph(self, g: Graph) -> Graph:

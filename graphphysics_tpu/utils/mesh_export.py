@@ -88,7 +88,7 @@ def _parse_vtu_bytes(data: bytes) -> Tuple[ET.Element, Optional[bytes]]:
         import re
 
         _RAW_APPENDED_RE = re.compile(
-            rb'<AppendedData[^>]*encoding\s*=\s*"raw"', re.S
+            rb'<AppendedData[^>]*encoding\s*=\s*["\']raw["\']', re.S
         )
     m = _RAW_APPENDED_RE.search(data)
     if m is None:

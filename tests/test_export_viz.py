@@ -285,3 +285,19 @@ def test_vtu_appended_raw(tmp_path, rng):
     np.testing.assert_array_equal(pts[:, :2], points)
     np.testing.assert_array_equal(cells, tris)
     np.testing.assert_array_equal(pd["v"], v)
+
+
+def test_vtu_appended_raw_single_quoted(tmp_path, rng):
+    """encoding='raw' with single quotes (legal XML) must be detected too."""
+    from graphphysics_tpu.utils.mesh_export import _parse_vtu_bytes
+
+    points, tris = triangulated_grid(4, 4)
+    blob = b"\x08\x00\x00\x00\x00\x00\x00\x00" + b"\x01" * 8
+    xml = (
+        b"<VTKFile type='UnstructuredGrid' header_type='UInt64'>"
+        b"<UnstructuredGrid/>"
+        b"<AppendedData encoding='raw'>_" + blob + b"\n</AppendedData>"
+        b"</VTKFile>"
+    )
+    root, got = _parse_vtu_bytes(xml)
+    assert got is not None and got.startswith(blob[:8])
