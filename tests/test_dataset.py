@@ -656,3 +656,33 @@ def test_spawn_pool_detects_dead_worker():
         assert time.time() - t0 < 10
     finally:
         pool.shutdown(wait=False, cancel_futures=True)
+
+
+def test_multiworker_interleaved_iterators_share_pool(cylinder):
+    """Two interleaved iterators over one multi-worker loader must not
+    cancel each other's work (generation-tagged submissions on the shared
+    persistent pool)."""
+    h5_path, meta_path = cylinder
+    ds = H5Dataset(
+        h5_path=h5_path, meta_path=meta_path, preprocessing=_cyl_preproc(),
+        node_type_index=2,
+    )
+    loader = GraphLoader(ds, batch_size=2, shuffle=True, seed=2, prefetch=2,
+                         num_workers=2)
+    ref = list(GraphLoader(ds, batch_size=2, shuffle=True, seed=2,
+                           prefetch=0))
+    try:
+        it_a = iter(loader)
+        first_a = next(it_a)
+        it_b = iter(loader)   # second iterator while A is mid-epoch
+        first_b = next(it_b)
+        it_b.close()          # B abandons: must not cancel A's pending work
+        rest_a = list(it_a)
+        got = [first_a] + rest_a
+        assert len(got) == len(ref)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(a.x, b.x)
+        np.testing.assert_array_equal(np.asarray(first_b.x),
+                                      np.asarray(ref[0].x))
+    finally:
+        loader.close()
