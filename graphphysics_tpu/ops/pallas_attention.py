@@ -49,8 +49,13 @@ from graphphysics_tpu.ops.pallas_segment import (
     compute_block_offsets,  # noqa: F401  (the contiguous-offsets variant)
 )
 
-# Defaults tuned for H=4..8 heads, D=H*Dh=64..512, f32.
-BLOCK_NODES = 256  # segment rows per program
+# Defaults tuned for H=4..8 heads, D=H*Dh=64..512, f32. The per-chunk
+# one-hot reductions cost O(BE * BN) per chunk — linear in BLOCK_NODES
+# across the whole grid — so smaller node blocks trade launch/DMA overhead
+# for less MXU work: the 2026-08-21 same-window sweep at aneurysm scale
+# (benchmarks/kernel_block_sweep.py) measured bn128/be512 at 0.638x of the
+# XLA path vs 0.658x for the former bn256 default (bn512: 0.714x).
+BLOCK_NODES = 128  # segment rows per program
 BLOCK_EDGES = 512  # edges DMA'd + reduced per chunk
 
 _NEG = -1e30  # finite -inf stand-in (inf - inf would NaN in the online max)
