@@ -58,7 +58,7 @@ def main():
     print(json.dumps({"config": "xla_coo", "ms": round(xla_s * 1e3, 3)}),
           flush=True)
 
-    for bn, be in itertools.product((128, 256, 512), (512, 1024)):
+    for bn, be in itertools.product((64, 128, 256, 512), (256, 512, 1024)):
         bounds = compute_block_bounds(senders, n, block_nodes=bn)
         mc = compute_max_chunks_bounds(bounds, block_edges=be)
         oj = jnp.asarray(bounds)
