@@ -152,19 +152,7 @@ class GraphLoader:
             yield self._collate(graphs)
 
     def _materialize_static_shapes(self, order) -> None:
-        """Workers must inherit CONCRETE static-shape state (budgets, ELL
-        degree) or each would derive its own and pad to different shapes."""
-        ds = self.dataset
-        layout = getattr(ds, "edge_layout", "coo")
-        lazy = getattr(ds, "node_budget", 1) is None or (
-            # edge_budget stays None on the ELL path (ell_degree is its
-            # static-shape state) — only COO/CSR layouts pad by edge budget
-            layout in ("coo", "csr") and getattr(ds, "edge_budget", 1) is None
-        ) or (layout == "ell" and getattr(ds, "ell_degree", 1) is None) or (
-            layout == "csr" and getattr(ds, "csr_max_chunks", 1) is None
-        )
-        if lazy:
-            ds[int(order[0])]
+        materialize_static_shapes(self.dataset, order)
 
     def _ensure_pool(self, order):
         """The worker pool PERSISTS across epochs: spawn startup costs
@@ -286,6 +274,22 @@ class GraphLoader:
             # submissions on the persistent pool (it would cancel them)
             stop.set()
             t.join(timeout=60.0)
+
+
+def materialize_static_shapes(ds, order) -> None:
+    """Build one item if any lazy static budget is unset: workers must
+    inherit CONCRETE static-shape state (budgets, ELL degree) through the
+    pickle or each would derive its own and pad to different shapes."""
+    layout = getattr(ds, "edge_layout", "coo")
+    lazy = getattr(ds, "node_budget", 1) is None or (
+        # edge_budget stays None on the ELL path (ell_degree is its
+        # static-shape state) — only COO/CSR layouts pad by edge budget
+        layout in ("coo", "csr") and getattr(ds, "edge_budget", 1) is None
+    ) or (layout == "ell" and getattr(ds, "ell_degree", 1) is None) or (
+        layout == "csr" and getattr(ds, "csr_max_chunks", 1) is None
+    )
+    if lazy:
+        ds[int(order[0])]
 
 
 def compute_batch_chunks(

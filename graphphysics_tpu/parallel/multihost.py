@@ -63,15 +63,23 @@ class MultihostGraphLoader:
     ``per_host_batch`` rows out of each chunk, so every global stacked batch
     stays one static shape (one compiled step per bucket)."""
 
-    def __init__(self, dataset, per_host_batch: int, mesh, shuffle=True, seed=0):
+    def __init__(self, dataset, per_host_batch: int, mesh, shuffle=True,
+                 seed=0, num_workers: int = 0):
+        """``num_workers > 0`` builds this host's items in spawn worker
+        processes (the persistent pool of ``dataset.loader``), parallelizing
+        WITHIN each per-host batch — useful when items are expensive (k-hop,
+        world-edge kd-trees) and every host must keep its chips fed."""
         self.dataset = dataset
         self.per_host_batch = per_host_batch
         self.mesh = mesh
         self.shuffle = shuffle
         self.seed = seed
+        self.num_workers = num_workers
         self._epoch = 0
         self._start_batch = 0
         self._bucket_ids_cache = None
+        self._pool = None
+        self._pool_finalizer = None
 
     def _bucket_ids(self):
         from graphphysics_tpu.dataset.loader import dataset_bucket_ids
@@ -137,12 +145,40 @@ class MultihostGraphLoader:
             chunks_for_count=chunks_for_count,
         )
 
+    def _build_items(self, rows):
+        """Items for this host's slice — via the worker pool when enabled."""
+        if self.num_workers <= 0:
+            return [self.dataset[int(i)] for i in rows]
+        if self._pool is None:
+            import weakref
+
+            from graphphysics_tpu.dataset.loader import (
+                _SpawnWorkerPool,
+                _shutdown_pool,
+                materialize_static_shapes,
+            )
+
+            if len(rows):
+                materialize_static_shapes(self.dataset, rows)
+            self._pool = _SpawnWorkerPool(self.dataset, self.num_workers)
+            self._pool_finalizer = weakref.finalize(
+                self, _shutdown_pool, self._pool
+            )
+        tasks = [self._pool.submit(int(i), self._epoch) for i in rows]
+        return [t.result() for t in tasks]
+
+    def close(self) -> None:
+        """Shut down the worker pool (idempotent; also runs at GC)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=True, cancel_futures=True)
+            self._pool = None
+
     def _local_from_chunk(self, chunk: np.ndarray):
         from graphphysics_tpu.core.graph import stack_graphs
 
         p = jax.process_index()
         rows = chunk[p * self.per_host_batch : (p + 1) * self.per_host_batch]
-        graphs = [self.dataset[int(i)] for i in rows]
+        graphs = self._build_items(rows)
         if len(graphs) < self.per_host_batch:
             # partial global chunk: every host must still ship an equal
             # static slice, so the shortfall pads with fully-MASKED copies
@@ -162,7 +198,7 @@ class MultihostGraphLoader:
         from graphphysics_tpu.core.graph import stack_graphs
 
         chunk = idx[b * self.per_host_batch : (b + 1) * self.per_host_batch]
-        return stack_graphs([self.dataset[int(i)] for i in chunk])
+        return stack_graphs(self._build_items(chunk))
 
     def peek(self):
         """First global batch, built synchronously — for shape/parameter

@@ -686,3 +686,42 @@ def test_multiworker_interleaved_iterators_share_pool(cylinder):
                                       np.asarray(ref[0].x))
     finally:
         loader.close()
+
+
+def test_multihost_loader_workers_match_inline(cylinder):
+    """MultihostGraphLoader(num_workers=2) must yield the same global
+    batches as the inline build (single-process degenerate case)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from graphphysics_tpu.parallel.multihost import MultihostGraphLoader
+
+    h5_path, meta_path = cylinder
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+
+    def make(workers):
+        ds = H5Dataset(
+            h5_path=h5_path, meta_path=meta_path,
+            preprocessing=_cyl_preproc(0.1), node_type_index=2,
+        )
+        return MultihostGraphLoader(ds, per_host_batch=4, mesh=mesh,
+                                    shuffle=True, seed=9,
+                                    num_workers=workers)
+    inline = make(0)
+    pooled = make(2)
+    # align static budgets (lazily derived per dataset instance)
+    inline.dataset[0]
+    pooled.dataset.node_budget = inline.dataset.node_budget
+    pooled.dataset.edge_budget = inline.dataset.edge_budget
+    try:
+        for epoch in (0, 1):
+            inline.set_epoch(epoch)
+            pooled.set_epoch(epoch)
+            a_batches = list(inline)
+            b_batches = list(pooled)
+            assert len(a_batches) == len(b_batches) > 0
+            for a, b in zip(a_batches, b_batches):
+                np.testing.assert_array_equal(np.asarray(a.x),
+                                              np.asarray(b.x))
+    finally:
+        pooled.close()
