@@ -74,7 +74,7 @@ class Graph:
             of an ``all_gather`` of the full node table.
         csr_bounds: ``[2, num_blocks]`` int32 or None. CSR layout for the
             fused Pallas attention kernel (``ops.pallas_attention``): edges
-            are SORTED by sender and ``csr_bounds`` gives each BLOCK_NODES-node (128)
+            are SORTED by sender and ``csr_bounds`` gives each BLOCK_NODES-node
             block's [start, end) edge range (``compute_block_bounds``) —
             trailing padding edges are excluded, and concat-batched graphs'
             ranges skip each member's padding. Requires the node count to be

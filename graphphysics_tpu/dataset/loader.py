@@ -160,29 +160,13 @@ class GraphLoader:
         pool would pay every epoch. Workers receive the current epoch with
         every task (the one piece of parent-side dataset state that mutates
         between epochs), so their pickled dataset copies stay in sync."""
-        if self._pool is not None:
-            return self._pool
-        self._materialize_static_shapes(order)
-        # spawn, never fork: the parent is a multithreaded JAX process, and
-        # fork() under live threads is a documented deadlock (the reference
-        # sets the spawn start method for the same reason, train.py:266).
-        # Workers are started EAGERLY here so every child inherits the
-        # sanitized environment (_worker_env) — Python 3.12's
-        # ProcessPoolExecutor spawns lazily per submit, which would let
-        # workers inherit whatever the env looks like mid-epoch.
-        self._pool = _SpawnWorkerPool(self.dataset, self.num_workers)
-        self._pool_finalizer = weakref.finalize(
-            self, _shutdown_pool, self._pool
-        )
-        return self._pool
+        return attach_worker_pool(self, self.dataset, self.num_workers, order)
 
     def close(self) -> None:
         """Shut down the persistent worker pool (idempotent). Also runs at
         loader garbage collection; daemon workers die with the parent
         regardless."""
-        if self._pool is not None:
-            self._pool.shutdown(wait=True, cancel_futures=True)
-            self._pool = None
+        close_worker_pool(self)
 
     def _batches_multiprocess(self, chunks, pool, start=0) -> Iterator[Graph]:
         """Worker PROCESSES build items in parallel (the role of the
@@ -274,6 +258,38 @@ class GraphLoader:
             # submissions on the persistent pool (it would cancel them)
             stop.set()
             t.join(timeout=60.0)
+
+
+def attach_worker_pool(owner, dataset, num_workers: int, order):
+    """Create (once) and attach the persistent spawn pool + GC finalizer to
+    ``owner`` (expects ``owner._pool`` / ``owner._pool_finalizer`` slots) —
+    the one pool-lifecycle implementation shared by GraphLoader and
+    MultihostGraphLoader.
+
+    spawn, never fork: the parent is a multithreaded JAX process, and
+    fork() under live threads is a documented deadlock (the reference sets
+    the spawn start method for the same reason, train.py:266). Workers are
+    started EAGERLY so every child inherits the sanitized environment
+    (_worker_env) — Python 3.12's ProcessPoolExecutor spawns lazily per
+    submit, which would let workers inherit whatever the env looks like
+    mid-epoch."""
+    if owner._pool is None:
+        materialize_static_shapes(dataset, order)
+        owner._pool = _SpawnWorkerPool(dataset, num_workers)
+        owner._pool_finalizer = weakref.finalize(
+            owner, _shutdown_pool, owner._pool
+        )
+    return owner._pool
+
+
+def close_worker_pool(owner) -> None:
+    """Shut down ``owner``'s pool and detach its GC finalizer (idempotent)."""
+    if owner._pool is not None:
+        owner._pool.shutdown(wait=True, cancel_futures=True)
+        owner._pool = None
+    if getattr(owner, "_pool_finalizer", None) is not None:
+        owner._pool_finalizer.detach()
+        owner._pool_finalizer = None
 
 
 def materialize_static_shapes(ds, order) -> None:
@@ -477,6 +493,9 @@ class _SpawnWorkerPool:
         self._tid_gen: dict = {}
         self._gen = 0
         self._shutdown = False
+        # guards the bookkeeping above: concurrent iterators run two
+        # producer threads against one pool (never held across queue waits)
+        self._lock = threading.Lock()
         with _worker_env():
             self._procs = [
                 ctx.Process(
@@ -492,22 +511,29 @@ class _SpawnWorkerPool:
     def begin_epoch(self) -> int:
         """Start a submission generation; pass the token to cancel_pending
         so a straggling teardown can only cancel ITS OWN epoch's work."""
-        self._gen += 1
-        return self._gen
+        with self._lock:
+            self._gen += 1
+            return self._gen
 
     def submit(self, index: int, epoch: int = 0,
                gen: Optional[int] = None) -> _PoolTask:
-        tid = self._next_tid
-        self._next_tid += 1
-        self._pending.add(tid)
-        # tag with the SUBMITTER's generation: a straggling old producer
-        # must not label its tasks with a newer iterator's gen
-        self._tid_gen[tid] = self._gen if gen is None else gen
+        with self._lock:
+            tid = self._next_tid
+            self._next_tid += 1
+            self._pending.add(tid)
+            # tag with the SUBMITTER's generation: a straggling old producer
+            # must not label its tasks with a newer iterator's gen
+            self._tid_gen[tid] = self._gen if gen is None else gen
         self._tasks.put((tid, int(index), int(epoch)))
         return _PoolTask(self, tid)
 
     def _result_for(self, tid: int):
-        while tid not in self._done:
+        while True:
+            with self._lock:
+                if tid in self._done:
+                    ok, payload = self._done.pop(tid)
+                    self._tid_gen.pop(tid, None)
+                    break
             if self._shutdown:
                 raise RuntimeError(
                     "worker pool was shut down with results pending"
@@ -531,14 +557,13 @@ class _SpawnWorkerPool:
                         f"dataset's per-item memory"
                     ) from None
                 continue
-            if rtid in self._cancelled:  # stale result of an abandoned epoch
-                self._cancelled.discard(rtid)
-                self._tid_gen.pop(rtid, None)
-                continue
-            self._pending.discard(rtid)
-            self._done[rtid] = (ok, payload)
-        ok, payload = self._done.pop(tid)
-        self._tid_gen.pop(tid, None)
+            with self._lock:
+                if rtid in self._cancelled:  # stale: abandoned epoch
+                    self._cancelled.discard(rtid)
+                    self._tid_gen.pop(rtid, None)
+                    continue
+                self._pending.discard(rtid)
+                self._done[rtid] = (ok, payload)
         if not ok:
             raise payload
         return payload
@@ -565,20 +590,22 @@ class _SpawnWorkerPool:
                 break
             if task is None:
                 continue
-            if mine(task[0]):
-                self._pending.discard(task[0])
-                self._tid_gen.pop(task[0], None)
-            else:
-                requeue.append(task)
+            with self._lock:
+                if mine(task[0]):
+                    self._pending.discard(task[0])
+                    self._tid_gen.pop(task[0], None)
+                else:
+                    requeue.append(task)
         for task in requeue:  # another generation's queued work survives
             self._tasks.put(task)
-        in_flight = {t for t in self._pending if mine(t)}
-        self._cancelled.update(in_flight)
-        self._pending.difference_update(in_flight)
-        for t in list(self._done):
-            if mine(t):
-                del self._done[t]
-                self._tid_gen.pop(t, None)
+        with self._lock:
+            in_flight = {t for t in self._pending if mine(t)}
+            self._cancelled.update(in_flight)
+            self._pending.difference_update(in_flight)
+            for t in list(self._done):
+                if mine(t):
+                    del self._done[t]
+                    self._tid_gen.pop(t, None)
 
     def shutdown(self, wait: bool = True, cancel_futures: bool = False):
         if self._shutdown:

@@ -149,29 +149,30 @@ class MultihostGraphLoader:
         """Items for this host's slice — via the worker pool when enabled."""
         if self.num_workers <= 0:
             return [self.dataset[int(i)] for i in rows]
-        if self._pool is None:
-            import weakref
+        from graphphysics_tpu.dataset.loader import attach_worker_pool
 
-            from graphphysics_tpu.dataset.loader import (
-                _SpawnWorkerPool,
-                _shutdown_pool,
-                materialize_static_shapes,
-            )
-
-            if len(rows):
-                materialize_static_shapes(self.dataset, rows)
-            self._pool = _SpawnWorkerPool(self.dataset, self.num_workers)
-            self._pool_finalizer = weakref.finalize(
-                self, _shutdown_pool, self._pool
-            )
-        tasks = [self._pool.submit(int(i), self._epoch) for i in rows]
-        return [t.result() for t in tasks]
+        # materialize from the CANONICAL index even when this host's slice
+        # is empty (a partial chunk): the pool must pickle a dataset whose
+        # static budgets are concrete, or every worker re-derives them
+        pool = attach_worker_pool(
+            self, self.dataset, self.num_workers,
+            rows if len(rows) else np.array([0]),
+        )
+        gen = pool.begin_epoch()
+        tasks = [pool.submit(int(i), self._epoch, gen) for i in rows]
+        try:
+            return [t.result() for t in tasks]
+        except BaseException:
+            # a failed item must not leave the slice's remaining tasks
+            # polluting pool state for the next batch
+            pool.cancel_pending(gen)
+            raise
 
     def close(self) -> None:
         """Shut down the worker pool (idempotent; also runs at GC)."""
-        if self._pool is not None:
-            self._pool.shutdown(wait=True, cancel_futures=True)
-            self._pool = None
+        from graphphysics_tpu.dataset.loader import close_worker_pool
+
+        close_worker_pool(self)
 
     def _local_from_chunk(self, chunk: np.ndarray):
         from graphphysics_tpu.core.graph import stack_graphs

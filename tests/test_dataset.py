@@ -709,10 +709,9 @@ def test_multihost_loader_workers_match_inline(cylinder):
                                     num_workers=workers)
     inline = make(0)
     pooled = make(2)
-    # align static budgets (lazily derived per dataset instance)
-    inline.dataset[0]
-    pooled.dataset.node_budget = inline.dataset.node_budget
-    pooled.dataset.edge_budget = inline.dataset.edge_budget
+    # NO budget alignment: lazy budgets are canonical (derived from item 0),
+    # so worker-derived shapes must already match the inline build's —
+    # pre-aligning would mask a cross-process divergence
     try:
         for epoch in (0, 1):
             inline.set_epoch(epoch)
