@@ -724,3 +724,48 @@ def test_multihost_loader_workers_match_inline(cylinder):
                                               np.asarray(b.x))
     finally:
         pooled.close()
+
+
+class _EchoDataset:
+    def __getitem__(self, i):
+        return np.full(4, i)
+
+
+def test_spawn_pool_concurrent_submitters_stress():
+    """Two threads hammering submit/result on one pool (the concurrent-
+    iterator shape): every waiter must get ITS OWN item back — lock-guarded
+    tid allocation and result bookkeeping."""
+    import threading
+
+    from graphphysics_tpu.dataset.loader import _SpawnWorkerPool
+
+    pool = _SpawnWorkerPool(_EchoDataset(), num_workers=2)
+    errors = []
+
+    def hammer(base):
+        try:
+            gen = pool.begin_epoch()
+            for start in range(0, 200, 10):
+                tasks = [
+                    (i, pool.submit(base + i, 0, gen))
+                    for i in range(start, start + 10)
+                ]
+                for i, t in tasks:
+                    np.testing.assert_array_equal(
+                        t.result(), np.full(4, base + i)
+                    )
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=hammer, args=(b,)) for b in (0, 10_000)
+    ]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not any(t.is_alive() for t in threads), "stress hung"
+        assert not errors, errors
+    finally:
+        pool.shutdown(wait=True, cancel_futures=True)
