@@ -57,6 +57,16 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["halo", "gather"],
                    help="per-layer exchange: all_to_all of boundary rows "
                         "(halo) or full-table all_gather")
+    p.add_argument("--partition_edge_headroom", type=float, default=1.25,
+                   help="static partition budgets = canonical-batch needs x "
+                        "this factor; 1.0 is exact (and fastest) for "
+                        "fixed-topology datasets — outlier batches grow the "
+                        "budgets with one recompile instead of failing "
+                        "(docs/scaling.md 'Projected ICI efficiency')")
+    p.add_argument("--no_partition_budget_growth", action="store_true",
+                   help="hard-error when a batch exceeds the static "
+                        "partition budgets instead of growing them "
+                        "(bit-identical padded shapes for replays)")
     p.add_argument("--partition_reorder", default=None,
                    choices=["rcm", "bfs", "hilbert", "none"],
                    help="locality-aware node reordering before the "
@@ -220,6 +230,8 @@ def main(argv=None) -> int:
         gradient_accumulation=args.gradient_accumulation,
         graph_partition=args.graph_partition,
         partition_mode=args.partition_mode,
+        partition_edge_headroom=args.partition_edge_headroom,
+        partition_budget_growth=not args.no_partition_budget_growth,
         partition_reorder=args.partition_reorder,
         halo_dtype=args.halo_dtype,
         partitioned_validation=args.partitioned_validation,

@@ -67,6 +67,7 @@ class Trainer:
         graph_partition: int = 0,
         partition_mode: str = "halo",
         partition_edge_headroom: float = 1.25,
+        partition_budget_growth: bool = True,
         partition_reorder: Optional[str] = None,
         halo_dtype: Optional[str] = None,
         partitioned_validation: bool = False,
@@ -121,6 +122,16 @@ class Trainer:
             raise ValueError(f"unknown partition_mode {partition_mode!r}")
         self.partition_mode = partition_mode
         self.partition_edge_headroom = float(partition_edge_headroom)
+        # a batch that exceeds the canonical static budgets re-derives them
+        # from itself (monotone grow -> one recompile) instead of aborting
+        # the run; makes partition_edge_headroom=1.0 — the efficient choice
+        # for fixed-topology datasets, where the projected-ICI tables in
+        # docs/scaling.md apply — safe against the odd outlier batch.
+        # Set False to keep the hard budget error (bit-identical padded
+        # shapes run-to-run matter more than survival, e.g. determinism
+        # replays).
+        self.partition_budget_growth = bool(partition_budget_growth)
+        self._budget_gen = 0
         # locality-aware node reordering before the contiguous-block cut
         # (parallel/reorder.py): shrinks the halo volume when the dataset's
         # node numbering is not already locality-friendly; training is
@@ -550,7 +561,8 @@ class Trainer:
         if size_key not in self._part_budgets:
             self._part_budgets[size_key] = self._trial_budgets(g, csr=csr)
         eb, hb, mc = self._part_budgets[size_key]
-        try:
+
+        def attempt(eb, hb, mc):
             if halo:
                 part = partition_graph_halo_np(
                     g, parts, edge_budget_local=eb, halo_budget=hb, csr=csr
@@ -569,7 +581,31 @@ class Trainer:
             if halo and self.halo_dtype is not None:
                 part = part.replace(halo_dtype=self.halo_dtype)
             return part
+
+        try:
+            return attempt(eb, hb, mc)
         except ValueError as e:
+            if self.partition_budget_growth:
+                # budgets that fit THIS batch (x headroom), merged monotone
+                # with the cached ones so earlier shapes keep compiling
+                neb, nhb, nmc = self._trial_budgets(g, csr=csr)
+                grown = (
+                    max(eb, neb),
+                    max(hb, nhb) if hb is not None else nhb,
+                    max(mc, nmc) if mc is not None else nmc,
+                )
+                if grown != (eb, hb, mc):
+                    self._part_budgets[size_key] = grown
+                    self._budget_gen += 1
+                    print(
+                        f"[trainer] batch exceeded the canonical partition "
+                        f"budgets (edge {eb}, halo {hb}, csr chunks {mc}); "
+                        f"grown to {grown} — padded shapes change, the "
+                        f"step recompiles once"
+                    )
+                    return attempt(*grown)
+                # growth cannot help (e.g. indivisible node count) — fall
+                # through to the advisory error with the original cause
             raise ValueError(
                 f"graph partitioning exceeded the static budgets derived "
                 f"from the canonical batch (edge {eb}, halo {hb}, "
@@ -586,12 +622,22 @@ class Trainer:
         if self.data_parallel:
             # stacked [B, ...] loader batch -> [B, P, ...] on (data, graph)
             lead = jax.tree_util.tree_leaves(batch)[0].shape[0]
-            parts = [
-                self._partition_graph(
-                    jax.tree_util.tree_map(lambda a: np.asarray(a)[b], batch)
-                )
-                for b in range(lead)
-            ]
+            while True:
+                gen = self._budget_gen
+                parts = [
+                    self._partition_graph(
+                        jax.tree_util.tree_map(
+                            lambda a: np.asarray(a)[b], batch
+                        )
+                    )
+                    for b in range(lead)
+                ]
+                if self._budget_gen == gen:
+                    break
+                # a later graph grew the static budgets mid-batch
+                # (partition_budget_growth): re-partition the whole batch
+                # so every stacked part shares the grown padded shape;
+                # growth is monotone, so this converges
             stacked = stack_graphs(parts)
             sharding = NamedSharding(self.mesh, P(DATA_AXIS, GRAPH_AXIS))
         else:

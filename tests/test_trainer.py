@@ -832,3 +832,92 @@ def test_cli_export_produces_loadable_artifacts(cylinder_env, tmp_path,
     aot = step(gj)
     np.testing.assert_allclose(np.asarray(aot), np.asarray(live),
                                rtol=1e-5, atol=1e-6)
+
+
+def _budget_probe_graph(n, e, skew, seed=0):
+    """Same (nodes, edges) size_key either way; ``skew`` points every
+    receiver into part 0 of a 2-way cut, overflowing budgets derived from
+    the balanced ring."""
+    from graphphysics_tpu.core.graph import pad_graph_np
+
+    r = np.random.default_rng(seed)
+    x = r.normal(size=(n, 4)).astype(np.float32)
+    x[:, 2] = 0
+    pos = r.normal(size=(n, 2)).astype(np.float32)
+    s = (np.arange(e, dtype=np.int32)) % n
+    if skew:
+        t = (np.arange(e, dtype=np.int32)) % (n // 2)
+    else:
+        t = ((np.arange(e) + 1) % n).astype(np.int32)
+    return pad_graph_np(
+        x, pos, s.astype(np.int32), t.astype(np.int32), n_pad=n, e_pad=e,
+        edge_attr=r.normal(size=(e, 3)).astype(np.float32),
+        y=np.zeros((n, 2), np.float32), node_type_index=2,
+    )
+
+
+def test_partition_budget_growth(cylinder_env):
+    """A batch exceeding the canonical static budgets re-derives them from
+    itself (one recompile) instead of aborting — partition_edge_headroom=1.0
+    stays safe against outlier batches (docs/scaling.md projected-ICI)."""
+    tmp, param = cylinder_env
+    trainer = Trainer(
+        param, graph_partition=2, partition_edge_headroom=1.0,
+        checkpoint_dir=str(tmp / "ckpt_bg"), metrics_path=None,
+        rollout_dir=None,
+    )
+    g_bal = _budget_probe_graph(256, 256, skew=False)
+    p1 = trainer._partition_graph(g_bal)
+    ((eb0, hb0, _),) = trainer._part_budgets.values()
+    assert p1.senders.shape[1] == eb0 and trainer._budget_gen == 0
+
+    g_skew = _budget_probe_graph(256, 256, skew=True)
+    p2 = trainer._partition_graph(g_skew)
+    ((eb1, hb1, _),) = trainer._part_budgets.values()
+    assert trainer._budget_gen == 1
+    assert eb1 > eb0 and hb1 > hb0
+    assert p2.senders.shape[1] == eb1
+    # earlier shapes keep partitioning under the (monotone) grown budgets
+    assert trainer._partition_graph(g_bal).senders.shape[1] == eb1
+    assert trainer._budget_gen == 1  # no further growth
+
+
+def test_partition_budget_growth_disabled_raises(cylinder_env):
+    tmp, param = cylinder_env
+    trainer = Trainer(
+        param, graph_partition=2, partition_edge_headroom=1.0,
+        partition_budget_growth=False,
+        checkpoint_dir=str(tmp / "ckpt_bgoff"), metrics_path=None,
+        rollout_dir=None,
+    )
+    trainer._partition_graph(_budget_probe_graph(256, 256, skew=False))
+    with pytest.raises(ValueError, match="partition_edge_headroom"):
+        trainer._partition_graph(_budget_probe_graph(256, 256, skew=True))
+
+
+def test_partition_budget_growth_dp_mid_batch(cylinder_env):
+    """When a LATER graph of a stacked DP batch grows the budgets, the
+    whole batch re-partitions so every stacked part shares the grown
+    padded shape."""
+    from graphphysics_tpu.core.graph import stack_graphs
+
+    tmp, param = cylinder_env
+    trainer = Trainer(
+        param, data_parallel=True, graph_partition=2, num_devices=4,
+        partition_edge_headroom=1.0,
+        checkpoint_dir=str(tmp / "ckpt_bgdp"), metrics_path=None,
+        rollout_dir=None,
+    )
+    batch = stack_graphs([
+        _budget_probe_graph(256, 256, skew=False),
+        _budget_probe_graph(256, 256, skew=True),
+    ])
+    trainer.init_state(batch, num_steps=4)  # builds the (data, graph) mesh
+    trainer._budget_gen = 0
+    trainer._part_budgets.clear()  # re-derive lazily from the batch itself
+    out = trainer._put_partitioned_batch(batch)
+    assert trainer._budget_gen == 1
+    ((eb, _, _),) = trainer._part_budgets.values()
+    # [B, P, eb]: both graphs padded to the grown edge budget
+    assert out.senders.shape == (2, 2, eb)
+    assert np.isfinite(np.asarray(out.x)).all()
