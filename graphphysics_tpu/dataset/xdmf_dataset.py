@@ -58,11 +58,13 @@ class XDMFDataset(BaseDataset):
         return self._size_dataset
 
     def scan_node_counts(self):
+        # metadata-only: the Geometry DataItem's Dimensions attribute gives
+        # the node count without touching the heavy arrays (gigabytes on
+        # hundred-trajectory datasets)
         counts = []
         for path in self.file_paths:
             with XdmfTimeSeriesReader(path) as r:
-                pts, _ = r.read_points_cells()
-                counts.append(len(pts))
+                counts.append(r.num_points())
         return counts
 
     def _filter_features(
@@ -70,9 +72,21 @@ class XDMFDataset(BaseDataset):
     ) -> Dict[str, np.ndarray]:
         out = {}
         for k, field in self.meta["features"].items():
-            if k not in point_data:
-                continue
             if dynamic_only and field["type"] != "dynamic":
+                continue
+            if k not in point_data:
+                if field["type"] == "dynamic":
+                    # a missing physics field would silently shift every
+                    # subsequent x column: node_type_index/feature slices
+                    # then read the WRONG columns — fail at the cause
+                    # (the reference's meshio point-data indexing raises
+                    # KeyError here too). Structural meta entries (cells,
+                    # mesh_pos) legitimately ride in the grid topology,
+                    # not the point data — those skip.
+                    raise KeyError(
+                        f"dynamic meta feature {k!r} missing from the "
+                        f"grid's point data (has: {sorted(point_data)})"
+                    )
                 continue
             v = np.asarray(point_data[k]).astype(field["dtype"])
             if v.ndim == 1:

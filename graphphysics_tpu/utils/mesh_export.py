@@ -9,10 +9,12 @@ into one XDMF + HDF5 pair (via ``utils.xdmf``).
 ``read_vtu`` covers the VTK XML variants real tools emit (ingestion breadth
 parity with the reference's meshio reader, ``xdmf_dataset.py:94-112``):
 ASCII, inline base64 binary, zlib-compressed binary
-(``vtkZLibDataCompressor``), base64-encoded ``<AppendedData>``, and RAW
-``<AppendedData encoding="raw">`` (the blob is excised byte-wise before XML
-parsing — see ``_parse_vtu_bytes``) — with ``UInt32``/``UInt64`` header
-types and all numeric ``DataArray`` dtypes.
+(``vtkZLibDataCompressor``), base64-encoded ``<AppendedData>`` under BOTH
+offset conventions (VTK's per-array encoding with offsets in encoded
+characters, and the whole-section single stream with offsets in decoded
+bytes), and RAW ``<AppendedData encoding="raw">`` (the blob is excised
+byte-wise before XML parsing — see ``_parse_vtu_bytes``) — with
+``UInt32``/``UInt64`` header types and all numeric ``DataArray`` dtypes.
 """
 
 from __future__ import annotations
@@ -112,7 +114,10 @@ class _VtuDecoder:
         if comp not in (None, "", "vtkZLibDataCompressor"):
             raise ValueError(f"unsupported VTU compressor {comp!r}")
         self.compressed = comp == "vtkZLibDataCompressor"
-        self.appended = raw_appended
+        self.appended = raw_appended  # raw-encoding blob: offsets in bytes
+        self._app_text = None  # base64 appended: the ENCODED char stream
+        self._app_blob = None  # lazily whole-decoded (meshio convention)
+        self._app_conv = None  # "encoded" (VTK) | "decoded" (meshio)
         app = root.find("AppendedData")
         if app is not None and raw_appended is None:
             if app.get("encoding", "base64") != "base64":
@@ -121,9 +126,14 @@ class _VtuDecoder:
                     "_parse_vtu_bytes; string-parsed XML cannot carry it"
                 )
             text = "".join((app.text or "").split())
-            # meshio convention: ONE base64 stream for the whole appended
-            # section, DataArray offsets in DECODED bytes
-            self.appended = base64.b64decode(text[text.index("_") + 1 :])
+            self._app_text = text[text.index("_") + 1 :]
+            # all appended offsets in the file — the convention (below) is
+            # decided once, from how they tile the section
+            self._app_offsets = sorted(
+                int(da.get("offset", "0"))
+                for da in root.iter("DataArray")
+                if da.get("format", da.get("Format", "")) == "appended"
+            )
 
     def read(self, da: ET.Element) -> np.ndarray:
         dtype = _DTYPES[da.get("type")]
@@ -133,15 +143,158 @@ class _VtuDecoder:
         if fmt == "binary":
             raw = _decode_block(da.text, self.header_dtype, self.compressed)
         elif fmt == "appended":
-            if self.appended is None:
-                raise ValueError("appended DataArray without AppendedData")
             raw = self._read_appended(int(da.get("offset", "0")))
         else:
             raise ValueError(f"unknown DataArray format {fmt!r}")
         return np.frombuffer(raw, dtype)
 
     def _read_appended(self, off: int) -> bytes:
-        b, h = self.appended, self.header_dtype.itemsize
+        if self.appended is not None:  # encoding="raw": offsets in bytes
+            return self._from_bytes(self.appended, off)
+        if self._app_text is None:
+            raise ValueError("appended DataArray without AppendedData")
+        if self._appended_convention() == "encoded":
+            # VTK convention (vtkXMLWriter, EncodeAppendedData=On): each
+            # array is its own base64 stream — header immediately followed
+            # by payload, encoded TOGETHER — and offsets index ENCODED
+            # characters
+            raw = self._read_encoded_offset(off)
+            if raw is None:
+                raise ValueError(
+                    f"appended DataArray at encoded offset {off} does not "
+                    f"decode"
+                )
+            return raw
+        # meshio convention: ONE base64 stream for the whole appended
+        # section, offsets in DECODED bytes
+        if self._app_blob is None:
+            self._app_blob = base64.b64decode(self._app_text)
+        return self._from_bytes(self._app_blob, off)
+
+    def _appended_convention(self) -> str:
+        """Decide ONCE how this file's appended offsets are meant: both
+        conventions appear in the wild, and a garbage header can look
+        plausible for a single array, so the decision scores how ALL
+        declared offsets tile the section — an array's header must place
+        its end exactly at the next declared offset (or in-bounds for the
+        last one)."""
+        if self._app_conv is None:
+            enc = self._score_offsets(encoded=True)
+            dec = self._score_offsets(encoded=False)
+            # ties (including the single-array / offset-0 case, where the
+            # two readings are identical) keep the decoded reading
+            self._app_conv = "encoded" if enc > dec else "decoded"
+        return self._app_conv
+
+    def _span(self, header_of) -> Optional[Tuple[int, int]]:
+        """(header+payload byte count, payload start) from a header read
+        via ``header_of(start, count)`` -> bytes; None if unreadable."""
+        h = self.header_dtype.itemsize
+        if not self.compressed:
+            head = header_of(0, h)
+            if head is None or len(head) < h:
+                return None
+            nbytes = int(np.frombuffer(head, self.header_dtype)[0])
+            return (h + nbytes, h) if nbytes >= 0 else None
+        head3 = header_of(0, 3 * h)
+        if head3 is None or len(head3) < 3 * h:
+            return None
+        nblocks = int(np.frombuffer(head3, self.header_dtype)[0])
+        if not 0 < nblocks < 1_000_000:
+            return None
+        full = (3 + nblocks) * h
+        header = header_of(0, full)
+        if header is None or len(header) < full:
+            return None
+        sizes = np.frombuffer(header, self.header_dtype)[3:]
+        return full + int(sizes.sum()), full
+
+    def _score_offsets(self, encoded: bool) -> int:
+        text = self._app_text
+        if not encoded:
+            try:
+                blob = base64.b64decode(text)
+            except Exception:
+                return -1
+            if self._app_blob is None:
+                self._app_blob = blob
+            total = len(blob)
+        else:
+            total = len(text)
+        offs = self._app_offsets
+        score = 0
+        for i, off in enumerate(offs):
+            if encoded:
+                if off % 4:  # arrays start fresh 4-char groups
+                    return -1
+
+                def header_of(rel, count, _o=off):
+                    seg = text[_o : _o + _b64_chars(count)]
+                    try:
+                        return base64.b64decode(seg)[:count]
+                    except Exception:
+                        return None
+
+                span = self._span(header_of)
+                end = off + _b64_chars(span[0]) if span else None
+            else:
+                blob = self._app_blob
+
+                def header_of(rel, count, _o=off):
+                    return blob[_o : _o + count]
+
+                span = self._span(header_of)
+                end = off + span[0] if span else None
+            if end is None or end > total + 4:
+                continue
+            if i + 1 < len(offs):
+                score += 2 if end == offs[i + 1] else 1
+            else:
+                score += 2 if abs(end - total) <= 4 else 1
+        return score
+
+    def _read_encoded_offset(self, off: int) -> Optional[bytes]:
+        """Decode one appended array under the VTK encoded-offset
+        convention."""
+        text, h = self._app_text, self.header_dtype.itemsize
+        sub = text[off:]
+        if off % 4 or len(sub) < _b64_chars(h):
+            return None
+        try:
+            if not self.compressed:
+                head = base64.b64decode(sub[: _b64_chars(h)])[:h]
+                nbytes = int(np.frombuffer(head, self.header_dtype)[0])
+                need = _b64_chars(h + nbytes)
+                if nbytes < 0 or need > len(sub):
+                    return None
+                raw = base64.b64decode(sub[:need])
+                if len(raw) < h + nbytes:
+                    return None
+                return raw[h : h + nbytes]
+            head3 = base64.b64decode(sub[: _b64_chars(3 * h)])[: 3 * h]
+            nblocks = int(np.frombuffer(head3, self.header_dtype)[0])
+            if not 0 < nblocks < 1_000_000:
+                return None
+            full = (3 + nblocks) * h
+            header = base64.b64decode(sub[: _b64_chars(full)])[:full]
+            sizes = np.frombuffer(header, self.header_dtype)[3:]
+            total = full + int(sizes.sum())
+            need = _b64_chars(total)
+            if need > len(sub):
+                return None
+            raw = base64.b64decode(sub[:need])
+            if len(raw) < total:
+                return None
+            out, p = [], full
+            for s in sizes:
+                out.append(zlib.decompress(raw[p : p + int(s)]))
+                p += int(s)
+            return b"".join(out)
+        except Exception:
+            return None
+
+    def _from_bytes(self, b: bytes, off: int) -> bytes:
+        h = self.header_dtype.itemsize
         if not self.compressed:
             nbytes = int(np.frombuffer(b[off : off + h], self.header_dtype)[0])
             return b[off + h : off + h + nbytes]
@@ -242,13 +395,11 @@ def write_vtu(
         arr = np.asarray(arr)
         if vtk_dtype is None:
             vtk_dtype = "Float64" if arr.dtype.kind == "f" else "Int64"
-        da = ET.SubElement(
-            parent,
-            "DataArray",
-            type=vtk_dtype,
-            Name=name,
-            Format="binary" if binary else "ascii",
-        )
+        da = ET.SubElement(parent, "DataArray", type=vtk_dtype, Name=name)
+        # the VTK XML spec (and ParaView/meshio readers) use lowercase
+        # "format" — a capital-F attribute is silently missed by
+        # case-sensitive readers, which then misparse the payload as ascii
+        da.set("format", "binary" if binary else "ascii")
         if ncomp:
             da.set("NumberOfComponents", str(ncomp))
         flat = arr.reshape(-1).astype(_DTYPES[vtk_dtype])
@@ -303,6 +454,11 @@ def read_vtu(path: str):
                 f"only homogeneous triangle/tetra VTU supported, got cell "
                 f"types {uniq.tolist()}"
             )
+    if conn is None or offsets is None or len(offsets) == 0:
+        raise ValueError(
+            "VTU piece has no cells (points-only or empty Piece); the "
+            "framework requires a homogeneous triangle/tetra mesh"
+        )
     k = int(offsets[0])
     cells = conn.reshape(-1, k)
     point_data = {}
@@ -326,11 +482,12 @@ def vtu_series_to_xdmf(
     ``vtu_to_xdmf``, ``meshio_mesh.py:69-113``)."""
     if not vtu_paths:
         raise ValueError("no VTU files given")
-    points, cells, _ = read_vtu(vtu_paths[0])
+    points, cells, first_data = read_vtu(vtu_paths[0])
     with XdmfTimeSeriesWriter(xdmf_path) as w:
         w.write_points_cells(points, cells)
         t = 0.0
-        for p in vtu_paths:
-            _, _, point_data = read_vtu(p)
+        for i, p in enumerate(vtu_paths):
+            # the first file was already fully parsed above — reuse it
+            point_data = first_data if i == 0 else read_vtu(p)[2]
             w.write_data(t, point_data)
             t += dt

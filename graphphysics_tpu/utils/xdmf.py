@@ -35,10 +35,19 @@ _TOPO_FROM_XDMF = {
 }
 
 
-def _dtype_attrs(arr: np.ndarray) -> Dict[str, str]:
-    if np.issubdtype(arr.dtype, np.integer):
-        return {"DataType": "Int", "Precision": str(arr.dtype.itemsize)}
-    return {"DataType": "Float", "Precision": str(arr.dtype.itemsize)}
+def _dtype_attrs(dtype: np.dtype) -> Dict[str, str]:
+    """XDMF DataItem type attributes: without them strict readers fall
+    back to the spec default Float/Precision-4, truncating f64 points and
+    misreading Int64 topology. ``DataType`` is the XDMF3 spelling,
+    ``NumberType`` the XDMF2 one — both are written (libXdmf and ParaView
+    each accept either; meshio writes NumberType)."""
+    dt = np.dtype(dtype)
+    kind = "Int" if np.issubdtype(dt, np.integer) else "Float"
+    return {
+        "DataType": kind,
+        "NumberType": kind,
+        "Precision": str(dt.itemsize),
+    }
 
 
 class XdmfTimeSeriesWriter:
@@ -75,7 +84,12 @@ class XdmfTimeSeriesWriter:
     def _store(self, arr: np.ndarray) -> str:
         name = f"data{self._data_counter}"
         self._data_counter += 1
-        self._h5.create_dataset(name, data=arr)
+        # gzip like the reference's meshio TimeSeriesWriter — per-epoch
+        # rollout exports at mesh scale are several times smaller
+        # (compression implies chunking, which h5py rejects for empty
+        # shapes — store those contiguously)
+        kw = {"compression": "gzip"} if np.asarray(arr).size else {}
+        self._h5.create_dataset(name, data=arr, **kw)
         return f"{os.path.basename(self.h5_filename)}:/{name}"
 
     def write_points_cells(
@@ -131,6 +145,7 @@ class XdmfTimeSeriesWriter:
                 "DataItem",
                 Format="HDF",
                 Dimensions=f"{self._npoints} {2 if self._geom_type == 'XY' else 3}",
+                **_dtype_attrs(np.float64),
             ).text = self._points_path
             topo = ET.SubElement(
                 grid,
@@ -143,9 +158,11 @@ class XdmfTimeSeriesWriter:
                 "DataItem",
                 Format="HDF",
                 Dimensions=f"{self._ncells} {nodes_per_cell}",
+                **_dtype_attrs(np.int64),
             ).text = self._cells_path
             for name, path in stored.items():
-                shape = self._h5[path.split(":/")[-1]].shape
+                ds = self._h5[path.split(":/")[-1]]
+                shape = ds.shape
                 attr = ET.SubElement(
                     grid,
                     "Attribute",
@@ -158,6 +175,7 @@ class XdmfTimeSeriesWriter:
                     "DataItem",
                     Format="HDF",
                     Dimensions=" ".join(str(s) for s in shape),
+                    **_dtype_attrs(ds.dtype),
                 ).text = path
         ET.indent(xdmf)
         ET.ElementTree(xdmf).write(
@@ -194,7 +212,10 @@ class XdmfTimeSeriesReader:
     def _read_data_item(self, item: ET.Element) -> np.ndarray:
         fmt = item.get("Format", "XML")
         if fmt == "HDF":
-            fname, path = item.text.strip().split(":")
+            # "name.h5:/dataN" — the dataset path never contains a colon,
+            # the FILENAME may (timestamps, Windows drives): split on the
+            # last one
+            fname, path = item.text.strip().rsplit(":", 1)
             full = os.path.join(self.dirname, fname)
             if full not in self._h5_cache:
                 self._h5_cache[full] = h5py.File(full, "r")
@@ -216,6 +237,19 @@ class XdmfTimeSeriesReader:
             if topo is None:
                 topo = g0.find("Topology")
         return geom, topo
+
+    def num_points(self) -> int:
+        """Node count WITHOUT reading the heavy geometry array: parsed from
+        the Geometry DataItem's ``Dimensions`` attribute (written by this
+        module's writer and by meshio); falls back to reading the array
+        for files that omit it. Lets budget-derivation scans over hundreds
+        of trajectories stay metadata-only."""
+        geom, _ = self._find_geometry_topology(self._grids[0])
+        item = geom.find("DataItem")
+        dims = (item.get("Dimensions") or "").split()
+        if dims:
+            return int(dims[0])
+        return len(self._read_data_item(item))
 
     def read_points_cells(self) -> Tuple[np.ndarray, List[Tuple[str, np.ndarray]]]:
         geom, topo = self._find_geometry_topology(self._grids[0])

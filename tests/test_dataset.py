@@ -769,3 +769,23 @@ def test_spawn_pool_concurrent_submitters_stress():
         assert not errors, errors
     finally:
         pool.shutdown(wait=True, cancel_futures=True)
+
+
+def test_xdmf_missing_dynamic_feature_raises():
+    """A physics field listed in meta but absent from a grid's point data
+    would silently shift every later x column — it must fail at the cause.
+    Structural entries (cells/mesh_pos ride in the grid topology) still
+    skip."""
+    from graphphysics_tpu.dataset.xdmf_dataset import XDMFDataset
+
+    ds = XDMFDataset.__new__(XDMFDataset)
+    ds.meta = {
+        "features": {
+            "Vitesse": {"type": "dynamic", "dtype": "float32"},
+            "cells": {"type": "static", "dtype": "int32"},
+        }
+    }
+    out = ds._filter_features({"Vitesse": np.zeros((4, 2))})
+    assert list(out) == ["Vitesse"]  # absent structural 'cells' skips
+    with pytest.raises(KeyError, match="Vitesse"):
+        ds._filter_features({"somethingelse": np.zeros(4)})

@@ -301,3 +301,179 @@ def test_vtu_appended_raw_single_quoted(tmp_path, rng):
     )
     root, got = _parse_vtu_bytes(xml)
     assert got is not None and got.startswith(blob[:8])
+
+
+def test_vtu_writer_emits_lowercase_format_attr(tmp_path, rng):
+    """The VTK XML spec (and ParaView/meshio readers) use lowercase
+    'format' — a capital-F attribute is silently missed by case-sensitive
+    readers, which then misparse base64 payloads as ascii."""
+    points, tris = triangulated_grid(4, 3)
+    p = str(tmp_path / "fmt.vtu")
+    write_vtu(p, points, tris, format="binary")
+    data = open(p, "rb").read()
+    assert b'format="binary"' in data
+    assert b'Format="binary"' not in data
+
+
+def _write_vtk_encoded_appended(path, points, tris, v, compress=False):
+    """Synthesize a VTU the way vtkXMLWriter (EncodeAppendedData=On) does:
+    each appended array is its OWN base64 stream — header immediately
+    followed by payload, encoded together — and DataArray offsets index
+    ENCODED characters."""
+    import base64
+    import xml.etree.ElementTree as ET
+    import zlib
+
+    stream = ""
+    offsets = {}
+
+    def put(name, arr):
+        nonlocal stream
+        raw = np.ascontiguousarray(arr).tobytes()
+        if compress:
+            comp = zlib.compress(raw)
+            block = (
+                np.array([1, len(raw), len(raw), len(comp)], "<u8").tobytes()
+                + comp
+            )
+        else:
+            block = np.array([len(raw)], "<u8").tobytes() + raw
+        offsets[name] = len(stream)
+        stream += base64.b64encode(block).decode()
+
+    pts3 = np.hstack([points, np.zeros((len(points), 1))]).astype("<f8")
+    put("Points", pts3)
+    put("connectivity", tris.astype("<i8"))
+    put("offsets", (np.arange(1, len(tris) + 1) * 3).astype("<i8"))
+    put("types", np.full(len(tris), 5, "<u1"))
+    put("v", v.astype("<f8"))
+
+    root = ET.Element("VTKFile", type="UnstructuredGrid",
+                      byte_order="LittleEndian", header_type="UInt64")
+    if compress:
+        root.set("compressor", "vtkZLibDataCompressor")
+    ug = ET.SubElement(root, "UnstructuredGrid")
+    piece = ET.SubElement(ug, "Piece", NumberOfPoints=str(len(points)),
+                          NumberOfCells=str(len(tris)))
+
+    def da(parent, name, vtk_type, ncomp=None):
+        d = ET.SubElement(parent, "DataArray", type=vtk_type, Name=name,
+                          format="appended", offset=str(offsets[name]))
+        if ncomp:
+            d.set("NumberOfComponents", str(ncomp))
+
+    da(ET.SubElement(piece, "Points"), "Points", "Float64", 3)
+    cl = ET.SubElement(piece, "Cells")
+    da(cl, "connectivity", "Int64")
+    da(cl, "offsets", "Int64")
+    da(cl, "types", "UInt8")
+    da(ET.SubElement(piece, "PointData"), "v", "Float64")
+    app = ET.SubElement(root, "AppendedData", encoding="base64")
+    app.text = "_" + stream
+    ET.ElementTree(root).write(path)
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_vtu_appended_base64_vtk_encoded_offsets(tmp_path, rng, compress):
+    """VTK's appended-base64 convention (offsets in ENCODED characters,
+    per-array streams) — distinct from meshio's whole-blob decoded-byte
+    offsets, which test_vtu_appended_base64 covers. The decoder picks the
+    convention by scoring how the declared offsets tile the section."""
+    points, tris = triangulated_grid(5, 4)
+    v = rng.normal(size=(len(points),))
+    p = str(tmp_path / f"vtk_enc{int(compress)}.vtu")
+    _write_vtk_encoded_appended(p, points, tris, v, compress=compress)
+    pts, cells, pd = read_vtu(p)
+    np.testing.assert_allclose(pts[:, :2], points)
+    np.testing.assert_array_equal(cells, tris)
+    np.testing.assert_allclose(pd["v"], v)
+
+
+def test_vtu_empty_piece_clear_error(tmp_path):
+    """A points-only / zero-cell Piece raises a clear error instead of an
+    opaque IndexError deep in the reshape."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.Element("VTKFile", type="UnstructuredGrid")
+    ug = ET.SubElement(root, "UnstructuredGrid")
+    piece = ET.SubElement(ug, "Piece", NumberOfPoints="2", NumberOfCells="0")
+    pts = ET.SubElement(piece, "Points")
+    d = ET.SubElement(pts, "DataArray", type="Float64", Name="Points")
+    d.set("format", "ascii")
+    d.set("NumberOfComponents", "3")
+    d.text = "0 0 0 1 0 0"
+    p = str(tmp_path / "empty.vtu")
+    ET.ElementTree(root).write(p)
+    with pytest.raises(ValueError, match="no cells"):
+        read_vtu(p)
+
+
+def test_xdmf_dataitems_typed_and_compressed(tmp_path, rng):
+    """Written XDMF DataItems carry explicit DataType/NumberType/Precision
+    (strict readers otherwise default to Float32 and truncate f64 points /
+    misread Int64 topology), and heavy data is gzip'd like the reference's
+    meshio TimeSeriesWriter."""
+    import xml.etree.ElementTree as ET
+
+    import h5py
+
+    from graphphysics_tpu.utils.xdmf import XdmfTimeSeriesWriter
+
+    points, tris = triangulated_grid(4, 3)
+    path = str(tmp_path / "typed.xdmf")
+    with XdmfTimeSeriesWriter(path) as w:
+        w.write_points_cells(points.astype(np.float64), tris)
+        w.write_data(0.0, {"v": rng.normal(size=(len(points),))})
+    root = ET.parse(path).getroot()
+    items = list(root.iter("DataItem"))
+    assert items
+    for it in items:
+        assert it.get("Precision") == "8"
+        assert it.get("DataType") in ("Float", "Int")
+        assert it.get("NumberType") == it.get("DataType")
+    topo_item = root.find(".//Topology/DataItem")
+    assert topo_item.get("DataType") == "Int"
+    with h5py.File(str(tmp_path / "typed.h5")) as f:
+        assert f["data0"].compression == "gzip"
+
+
+def test_xdmf_reader_handles_colon_in_h5_filename(tmp_path, rng):
+    """The HDF DataItem reference 'name.h5:/dataN' splits on the LAST
+    colon, so timestamped filenames like 'run:12.h5' resolve."""
+    from graphphysics_tpu.utils.xdmf import (
+        XdmfTimeSeriesReader,
+        XdmfTimeSeriesWriter,
+    )
+
+    points, tris = triangulated_grid(4, 3)
+    path = str(tmp_path / "run:12.xdmf")
+    v = rng.normal(size=(len(points),))
+    with XdmfTimeSeriesWriter(path) as w:
+        w.write_points_cells(points, tris)
+        w.write_data(0.0, {"v": v})
+    with XdmfTimeSeriesReader(path) as r:
+        assert r.num_points() == len(points)
+        _, pd, _ = r.read_data(0)
+        np.testing.assert_allclose(pd["v"], v)
+
+
+def test_xdmf_num_points_metadata_only(tmp_path, rng):
+    """num_points comes from the Geometry DataItem's Dimensions attribute
+    without reading the heavy array (budget scans stay metadata-only)."""
+    from graphphysics_tpu.utils.xdmf import (
+        XdmfTimeSeriesReader,
+        XdmfTimeSeriesWriter,
+    )
+
+    points, tris = triangulated_grid(6, 5)
+    path = str(tmp_path / "np.xdmf")
+    with XdmfTimeSeriesWriter(path) as w:
+        w.write_points_cells(points, tris)
+        w.write_data(0.0, {"v": rng.normal(size=(len(points),))})
+    with XdmfTimeSeriesReader(path) as r:
+        # sabotage the heavy file: if num_points touched it, this would fail
+        os.rename(str(tmp_path / "np.h5"), str(tmp_path / "np.h5.bak"))
+        try:
+            assert r.num_points() == len(points)
+        finally:
+            os.rename(str(tmp_path / "np.h5.bak"), str(tmp_path / "np.h5"))
