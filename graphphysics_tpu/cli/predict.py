@@ -80,10 +80,17 @@ def main(argv=None) -> int:
             partition_reorder=args.partition_reorder,
             partitioned_validation=True,
         )
+    elif args.partition_mode != "halo" or args.partition_reorder:
+        # silently ignoring these would let the user believe their rollout
+        # ran partitioned/reordered when it did not
+        raise SystemExit(
+            "--partition_mode/--partition_reorder require --graph_partition"
+        )
     trainer = Trainer(parameters, **prev_kwargs)
     # initialize state shapes from the first frame batch, then restore
+    # (peek(): no producer thread/iterator leaked, matching grph-export)
     loader = GraphLoader(ds, batch_size=1, shuffle=False, prefetch=0)
-    trainer.init_state(next(iter(loader)), num_steps=1)
+    trainer.init_state(loader.peek(), num_steps=1)
     from graphphysics_tpu.training.checkpoint import load_checkpoint
 
     trainer.state = load_checkpoint(args.model_path, trainer.state)

@@ -203,7 +203,11 @@ def main(argv=None) -> int:
         if args.resume_training and args.model_path:
             from graphphysics_tpu.training.checkpoint import load_metadata
 
-            run_id = load_metadata(args.model_path).get("wandb_run_id")
+            # advisory read before the trainer's single-parse resume —
+            # the sidecar spares deserializing the full state twice
+            run_id = load_metadata(
+                args.model_path, prefer_sidecar=True
+            ).get("wandb_run_id")
         extra_logger = WandbLogger(
             run_id=run_id,
             project=args.project_name,

@@ -198,6 +198,13 @@ def load_checkpoint(path: str, template: Any) -> Any:
     with open(path, "rb") as f:
         payload = msgpack_restore(f.read())
     payload.pop("__metadata__", None)
+    return _unflatten_payload(payload, template)
+
+
+def _unflatten_payload(payload: dict, template: Any):
+    """Validate a ``{str(i): leaf}`` msgpack payload against the template's
+    treedef and unflatten — shared by both load paths so a future fix to
+    one cannot miss the other."""
     treedef = jax.tree_util.tree_structure(template)
     n = treedef.num_leaves
     if len(payload) != n:
@@ -232,18 +239,20 @@ def load_checkpoint_with_metadata(path: str, template: Any) -> tuple:
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 metadata = json.load(f)
-    treedef = jax.tree_util.tree_structure(template)
-    n = treedef.num_leaves
-    if len(payload) != n:
-        raise ValueError(
-            f"checkpoint has {len(payload)} leaves, template expects {n}"
-        )
-    leaves = [payload[str(i)] for i in range(n)]
-    return jax.tree_util.tree_unflatten(treedef, leaves), metadata
+    return _unflatten_payload(payload, template), metadata
 
 
-def load_metadata(path: str) -> dict:
+def load_metadata(path: str, prefer_sidecar: bool = False) -> dict:
+    """``prefer_sidecar=True`` returns the ``.meta.json`` sidecar without
+    parsing the state file at all — the embedded copy is the atomically
+    committed one, but extracting it deserializes EVERY params/optimizer
+    leaf; for advisory reads (e.g. a W&B run id before the trainer's own
+    single-parse resume) the sidecar's tiny crash-staleness window is the
+    right trade."""
     wait_for_async_saves()
+    if prefer_sidecar and os.path.exists(path + ".meta.json"):
+        with open(path + ".meta.json") as f:
+            return json.load(f)
     orbax_dir = _resolve_orbax_dir(path)
     if orbax_dir is not None:  # orbax checkpoint directory
         ocp, ckptr = _orbax(async_=False)

@@ -261,6 +261,51 @@ class Trainer:
             node_valid=node_valid, exclude_mask=exclude_mask,
         )
 
+    def _shrink_for_init(self, g: Graph, max_nodes: int = 2048) -> Graph:
+        """Parameter/normalizer shapes depend only on FEATURE dims, but
+        flax init runs a forward — on the full mesh that materializes on
+        ONE device exactly the activations ``graph_partition`` exists to
+        spread (OOM at init for the meshes the flag targets, e.g.
+        ``grph-predict --graph_partition`` on a mesh whose eval forward
+        needs partitioning). Take a node-prefix subgraph with the edges
+        both of whose endpoints stay inside (capped); CSR/ELL layout
+        metadata is dropped — the attention/message params are identical
+        through the plain COO path."""
+        n = int(np.asarray(g.x).shape[0])
+        if n <= max_nodes:
+            return g
+        k = max_nodes
+        s = np.asarray(g.senders)
+        r = np.asarray(g.receivers)
+        em = np.asarray(g.edge_mask)
+        keep = np.nonzero((s < k) & (r < k) & em)[0][: 4 * k]
+
+        def node(a):
+            return None if a is None else np.asarray(a)[:k]
+
+        if keep.size:
+            senders = s[keep].astype(np.int32)
+            receivers = r[keep].astype(np.int32)
+            edge_mask = em[keep]
+            edge_attr = (
+                None if g.edge_attr is None else np.asarray(g.edge_attr)[keep]
+            )
+        else:  # prefix holds no edges: a masked self-loop keeps shapes valid
+            senders = receivers = np.zeros(8, np.int32)
+            edge_mask = np.zeros(8, bool)
+            edge_attr = (
+                None
+                if g.edge_attr is None
+                else np.zeros((8, np.asarray(g.edge_attr).shape[1]),
+                              np.asarray(g.edge_attr).dtype)
+            )
+        return Graph(
+            x=node(g.x), pos=node(g.pos),
+            senders=senders, receivers=receivers, edge_attr=edge_attr,
+            node_mask=node(g.node_mask), edge_mask=edge_mask,
+            y=node(g.y), exclude_mask=node(g.exclude_mask),
+        )
+
     def init_state(self, example_batch: Graph, num_steps: int):
         """Initialize params/normalizers/optimizer from one example batch."""
         if self.data_parallel or self.gradient_accumulation:
@@ -270,11 +315,16 @@ class Trainer:
             # exactly the monolithic-batch activations DP / gradient
             # accumulation exist to avoid (OOM at startup for batches sized
             # to fit only when sharded/microbatched)
-            gj = jax.tree_util.tree_map(
+            g0 = jax.tree_util.tree_map(
                 lambda a: jnp.asarray(a[0]), example_batch
             )
         else:
-            gj = jax.device_put(example_batch)
+            g0 = example_batch
+        if self.graph_partition:
+            # same reasoning at mesh (not batch) granularity: init from a
+            # small subgraph instead of the full single-device mesh
+            g0 = self._shrink_for_init(g0)
+        gj = jax.device_put(g0)
         variables = self.sim.init(
             {"params": jax.random.key(self.seed), "sample": jax.random.key(1)}, gj
         )

@@ -53,7 +53,13 @@ __all__ = [
 def _to_np(value) -> np.ndarray:
     """torch tensor | array-like -> float32 numpy (no torch import needed)."""
     if hasattr(value, "detach"):  # torch.Tensor without importing torch
-        value = value.detach().cpu().numpy()
+        value = value.detach()
+        if "float" in str(value.dtype):
+            # .numpy() has no bfloat16 counterpart — checkpoints saved
+            # from bf16-true training would TypeError; cast floats up
+            # front (ints keep their dtype through the asarray below)
+            value = value.float()
+        value = value.cpu().numpy()
     return np.asarray(value, dtype=np.float32)
 
 

@@ -491,3 +491,16 @@ def test_gmm_head_import(rng):
         ).numpy()
     assert ours.shape == (n, K * (2 * d + 1))
     np.testing.assert_allclose(ours, golden, rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_reference_tensors_import(rng):
+    """Checkpoints saved from bf16-true reference training import: .numpy()
+    has no bfloat16 counterpart, so floats upcast before the conversion."""
+    from graphphysics_tpu.utils.torch_import import _to_np
+
+    t = torch.ones(3, 2, dtype=torch.bfloat16) * 1.5
+    out = _to_np(t)
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out, 1.5)
+    # int tensors (step counters etc.) still convert
+    assert _to_np(torch.arange(4)).dtype == np.float32

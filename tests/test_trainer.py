@@ -921,3 +921,41 @@ def test_partition_budget_growth_dp_mid_batch(cylinder_env):
     # [B, P, eb]: both graphs padded to the grown edge budget
     assert out.senders.shape == (2, 2, eb)
     assert np.isfinite(np.asarray(out.x)).all()
+
+
+def test_load_metadata_prefer_sidecar_skips_state_parse(tmp_path):
+    """prefer_sidecar=True reads .meta.json without deserializing the full
+    state payload (advisory reads like the W&B run id on resume)."""
+    from graphphysics_tpu.training.checkpoint import load_metadata
+
+    ckpt = str(tmp_path / "s.msgpack")
+    with open(ckpt, "wb") as f:
+        f.write(b"\x81")  # truncated msgpack: any state parse would raise
+    with open(ckpt + ".meta.json", "w") as f:
+        json.dump({"wandb_run_id": "abc"}, f)
+    meta = load_metadata(ckpt, prefer_sidecar=True)
+    assert meta["wandb_run_id"] == "abc"
+
+
+def test_shrink_for_init_preserves_param_shapes(cylinder_env):
+    """graph_partition init runs the flax init forward on a small subgraph
+    (the full mesh would OOM one device for exactly the meshes the flag
+    targets) — parameter shapes must equal the full-graph init's."""
+    import jax
+
+    tmp, param = cylinder_env
+    trainer = Trainer(
+        param, graph_partition=2, metrics_path=None, rollout_dir=None,
+        checkpoint_dir=str(tmp / "ckpt_shrink"),
+    )
+    g = _budget_probe_graph(4096, 16384, skew=False)
+    small = trainer._shrink_for_init(g)
+    assert small.num_nodes <= 2048 and small.num_edges <= 8192
+    from graphphysics_tpu.training.parse_parameters import get_simulator
+
+    sim = get_simulator(param)
+    v_small = sim.init({"params": jax.random.key(0)}, jax.device_put(small))
+    v_full = sim.init({"params": jax.random.key(0)}, jax.device_put(g))
+    assert jax.tree_util.tree_map(
+        lambda a: a.shape, v_small["params"]
+    ) == jax.tree_util.tree_map(lambda a: a.shape, v_full["params"])
