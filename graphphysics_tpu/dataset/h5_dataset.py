@@ -31,7 +31,16 @@ def load_meta_trajectory(
     out = {}
     for key, field in meta["features"].items():
         data = group[key][()].astype(field["dtype"])
-        out[key] = data.reshape(field["shape"])
+        shape = list(field["shape"])
+        # a meta may leave BOTH the time and node axes inferred (-1);
+        # numpy reshape takes only one unknown, so resolve the time axis
+        # from the meta's trajectory_length (same rule scan_node_counts
+        # uses for these layouts)
+        if sum(1 for s in shape if not s or s < 0) > 1:
+            t = meta.get("trajectory_length")
+            if t and shape[0] in (-1, None, 0):
+                shape[0] = int(t)
+        out[key] = data.reshape(shape)
     return out
 
 
@@ -47,25 +56,44 @@ def frame_to_sample(
     non-geometry fields at ``frame`` plus node_type (frame 0) plus a trailing
     time column; targets are the dynamic fields (or ``meta.target_features``)
     at ``frame_target``."""
+    feats = meta["features"]
+
+    def at_frame(key: str, fr: int) -> np.ndarray:
+        """Frame slice honoring the meta's static/dynamic typing: a static
+        field stored WITHOUT the time axis ([N, k], ndim 2) is used as-is —
+        indexing it by frame would pick node ``fr``'s row; a tiled static
+        field reads frame 0 (identical content, exact index)."""
+        a = traj[key]
+        if feats.get(key, {}).get("type") == "static":
+            return a[0] if a.ndim > 2 else a
+        return a[fr]
+
     target_point_data = None
     if frame_target is not None:
         names = meta.get("target_features")
         if names is None:
             target_point_data = {
                 key: traj[key][frame_target]
-                for key, field in meta["features"].items()
+                for key, field in feats.items()
                 if field["type"] == "dynamic"
             }
         else:
-            target_point_data = {key: traj[key][frame_target] for key in names}
+            target_point_data = {
+                key: at_frame(key, frame_target) for key in names
+            }
 
     point_data = {
-        key: traj[key][frame]
+        key: at_frame(key, frame)
         for key in traj.keys()
         if key not in ("mesh_pos", "cells", "node_type")
     }
     if "node_type" in traj:
-        point_data["node_type"] = traj["node_type"][0]
+        nt = traj["node_type"]
+        static_untiled = (
+            feats.get("node_type", {}).get("type") == "static"
+            and nt.ndim == 2
+        )
+        point_data["node_type"] = nt if static_untiled else nt[0]
 
     # per-frame arrays are [T, N, k] after the meta reshape; a static array
     # stored without the time axis ([N, k], ndim 2) is used as-is
@@ -94,7 +122,12 @@ class H5Dataset(BaseDataset):
     ):
         super().__init__(meta_path=meta_path, **kwargs)
         if switch_to_val:
-            h5_path = h5_path.replace("train", "test")
+            # LAST occurrence only: the reference's whole-path replace
+            # (h5_dataset.py:40-41) corrupts paths where "train" is a
+            # substring of an unrelated component ("constrained_runs/...")
+            i = h5_path.rfind("train")
+            if i >= 0:
+                h5_path = h5_path[:i] + "test" + h5_path[i + 5 :]
         self.h5_path = h5_path
         self.dt = self.meta.get("dt", 1) or 1
 

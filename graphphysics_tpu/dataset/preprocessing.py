@@ -91,19 +91,24 @@ def add_obstacles_next_pos(
     the inserted width (the reference hardcodes ``- 3`` for its 3D plate,
     ``preprocessing.py:78-81``; this generalizes to any world-pos width)."""
     wps, wpe = world_pos_index_start, world_pos_index_end
+    prefix = sample.x[:, :wps]  # columns before world_pos survive verbatim
     world_pos = sample.x[:, wps:wpe]
     other = sample.x[:, wpe:]
     target_world_pos = sample.y[:, wps:wpe]
     displacement = target_world_pos - world_pos
 
-    node_type = sample.x[:, node_type_index - (wpe - wps)]
+    # displacement is inserted at column wpe, so a post-insertion index i
+    # maps to pre-insertion i when i < wpe and i - width after it
+    w = wpe - wps
+    nt_pre = node_type_index if node_type_index < wpe else node_type_index - w
+    node_type = sample.x[:, nt_pre]
     obstacle = node_type == NodeType.OBSTACLE
     mean_disp = displacement[obstacle].mean(axis=0) if obstacle.any() else 0.0
     displacement = np.where(obstacle[:, None], displacement, mean_disp)
 
-    sample.x = np.concatenate([world_pos, displacement, other], axis=1).astype(
-        np.float32
-    )
+    sample.x = np.concatenate(
+        [prefix, world_pos, displacement, other], axis=1
+    ).astype(np.float32)
     return sample
 
 
@@ -184,6 +189,13 @@ def random_3d_rotate(
     for s, e in feature_indices:
         sample.x[:, s:e] = sample.x[:, s:e] @ m
     if sample.y is not None:
+        if sample.y.shape[-1] < 3:
+            # [N,<3] @ [3,3] would raise an opaque matmul shape error
+            raise ValueError(
+                f"Random3DRotate rotates the first 3 target columns; y "
+                f"has only {sample.y.shape[-1]} — use it with 3D vector "
+                f"targets"
+            )
         sample.y[:, 0:3] = sample.y[:, 0:3] @ m
     return sample
 

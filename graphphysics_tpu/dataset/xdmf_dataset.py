@@ -42,7 +42,13 @@ class XDMFDataset(BaseDataset):
         self.random_prev = random_prev
         self.dt_features = dt_features
         if switch_to_val:
-            xdmf_folder = xdmf_folder.replace("train", "test")
+            # LAST occurrence only (see h5_dataset: replace-all corrupts
+            # paths with "train" inside an unrelated component)
+            i = xdmf_folder.rfind("train")
+            if i >= 0:
+                xdmf_folder = (
+                    xdmf_folder[:i] + "test" + xdmf_folder[i + 5 :]
+                )
             self.random_next = 1
             self.random_prev = 1
         self.xdmf_folder = xdmf_folder

@@ -789,3 +789,126 @@ def test_xdmf_missing_dynamic_feature_raises():
     assert list(out) == ["Vitesse"]  # absent structural 'cells' skips
     with pytest.raises(KeyError, match="Vitesse"):
         ds._filter_features({"somethingelse": np.zeros(4)})
+
+
+def test_h5_untiled_static_and_inferred_time_layouts_load(tmp_path):
+    """The layouts scan_node_counts blesses must also LOAD: a meta with an
+    inferred (-1) time axis resolves it from trajectory_length (numpy
+    reshape takes one unknown), and static fields stored WITHOUT the time
+    axis ([N, k]) — node_type included — are used as-is per frame."""
+    import h5py
+
+    from graphphysics_tpu.dataset.h5_dataset import H5Dataset
+
+    steps, d, n = 5, 2, 30
+    p = str(tmp_path / "untiled.h5")
+    node_type = np.zeros((n, 1), np.int32)
+    node_type[::3] = 1
+    with h5py.File(p, "w") as f:
+        g = f.create_group("0")
+        g["mesh_pos"] = np.arange(n * d, dtype=np.float32).reshape(n, d)
+        g["cells"] = np.stack(
+            [np.arange(n - 2), np.arange(1, n - 1), np.arange(2, n)], 1
+        ).astype(np.int32)
+        g["node_type"] = node_type
+        # dynamic velocity stored FLAT with a [-1, -1, d] meta shape
+        vel = np.arange(steps * n * d, dtype=np.float32).reshape(steps, n, d)
+        g["velocity"] = vel.ravel()
+    import json
+
+    mp = str(tmp_path / "untiled_meta.json")
+    with open(mp, "w") as fp:
+        json.dump({
+            "dt": 0.01, "trajectory_length": steps,
+            "features": {
+                "mesh_pos": {"type": "static", "shape": [-1, d],
+                             "dtype": "float32"},
+                "cells": {"type": "static", "shape": [-1, 3],
+                          "dtype": "int32"},
+                "node_type": {"type": "static", "shape": [-1, 1],
+                              "dtype": "int32"},
+                "velocity": {"type": "dynamic", "shape": [-1, -1, d],
+                             "dtype": "float32"},
+            },
+            "field_names": ["velocity"],
+        }, fp)
+    ds = H5Dataset(h5_path=p, meta_path=mp)
+    s = ds[1]  # frame 1 of trajectory 0 (padded to the static node budget)
+    x = np.asarray(s.x)[:n]
+    # node_type column is node_type (NOT node 1's row broadcast), and the
+    # dynamic field is frame 1 of the reshaped flat storage
+    vel1 = np.arange(steps * n * d, dtype=np.float32).reshape(steps, n, d)[1]
+    np.testing.assert_array_equal(x[:, :d], vel1)
+    np.testing.assert_array_equal(x[:, d], node_type[:, 0])
+
+
+def test_switch_to_val_replaces_last_train_occurrence(tmp_path):
+    """'constrained_runs/train.h5' must become 'constrained_runs/test.h5',
+    not 'constested_runs/...' (replace-all corrupted any path with 'train'
+    inside an unrelated component)."""
+    import h5py
+
+    from graphphysics_tpu.dataset.h5_dataset import H5Dataset
+
+    d = tmp_path / "constrained_runs"
+    d.mkdir()
+    for name in ("train.h5", "test.h5"):
+        with h5py.File(str(d / name), "w") as f:
+            g = f.create_group("0")
+            g["mesh_pos"] = np.zeros((4, 2), np.float32)
+            g["cells"] = np.zeros((1, 3), np.int32)
+            g["velocity"] = np.zeros((3, 4, 2), np.float32)
+    import json
+
+    mp = str(tmp_path / "m.json")
+    with open(mp, "w") as fp:
+        json.dump({
+            "dt": 0.01, "trajectory_length": 3,
+            "features": {
+                "mesh_pos": {"type": "static", "shape": [-1, 2],
+                             "dtype": "float32"},
+                "cells": {"type": "static", "shape": [-1, 3],
+                          "dtype": "int32"},
+                "velocity": {"type": "dynamic", "shape": [3, -1, 2],
+                             "dtype": "float32"},
+            },
+            "field_names": ["velocity"],
+        }, fp)
+    ds = H5Dataset(h5_path=str(d / "train.h5"), meta_path=mp,
+                   switch_to_val=True)
+    assert ds.h5_path == str(d / "test.h5")
+
+
+def test_add_obstacles_next_pos_preserves_prefix_columns():
+    """world_pos not at column 0: columns before it must survive, and
+    node_type must be read from the right pre-insertion column."""
+    from graphphysics_tpu.core.nodetype import NodeType
+    from graphphysics_tpu.dataset.preprocessing import add_obstacles_next_pos
+    from graphphysics_tpu.dataset.sample import RawSample
+
+    n = 6
+    rng = np.random.default_rng(0)
+    vel = rng.normal(size=(n, 2)).astype(np.float32)
+    wp = rng.normal(size=(n, 3)).astype(np.float32)
+    nt = np.zeros((n, 1), np.float32)
+    nt[:2] = NodeType.OBSTACLE
+    # layout: [vel(2), world_pos(3), node_type] ; post-insertion nti = 2+3+3
+    x = np.concatenate([vel, wp, nt], axis=1)
+    y = rng.normal(size=(n, 5)).astype(np.float32)
+    s = RawSample(x=x.copy(), pos=np.zeros((n, 2), np.float32),
+                  faces=np.zeros((1, 3), np.int64), y=y.copy())
+    out = add_obstacles_next_pos(
+        s, rng, world_pos_index_start=2, world_pos_index_end=5,
+        node_type_index=8,
+    )
+    assert out.x.shape[1] == 9
+    np.testing.assert_array_equal(out.x[:, :2], vel)      # prefix intact
+    np.testing.assert_array_equal(out.x[:, 2:5], wp)
+    np.testing.assert_array_equal(out.x[:, 8], nt[:, 0])  # node_type intact
+    disp = out.x[:, 5:8]
+    np.testing.assert_allclose(disp[:2], y[:2, 2:5] - wp[:2], rtol=1e-6)
+    # non-obstacle rows carry the obstacle-mean displacement
+    np.testing.assert_allclose(
+        disp[2:], np.broadcast_to((y[:2, 2:5] - wp[:2]).mean(0), (n - 2, 3)),
+        rtol=1e-5,
+    )
