@@ -230,29 +230,52 @@ def main():
         return state, min(times) / iters
 
     # OPPORTUNISTIC MODE: the throttle level drifts within a single
-    # invocation, so take several (step-chain, probe) passes spread across
-    # it and report the best-raw AND best-normalized readings — one clean
-    # moment anywhere in the run is enough to demonstrate capability.
+    # invocation, so take several passes spread across it and report the
+    # best-raw AND best-normalized readings — one clean moment anywhere in
+    # the run is enough to demonstrate capability.
+    #
+    # Each pass is PROBE-CHAIN-PROBE: the chip's probes bracket the step
+    # chain, the roofline is evaluated at both probe readings, and the pass
+    # reports the midpoint plus the bracket half-width. Probe drift WITHIN a
+    # pass is the method's dominant error term (the chip ramps mid-run);
+    # bracketing turns that drift into a per-pass error bar instead of an
+    # unknowable bias, and 5 passes give a defensible median + spread.
+    def probe_pair():
+        tfs = chip_probe_tflops(reps=2, budget_s=6.0)
+        gbs = chip_probe_gbps(reps=2, budget_s=4.0)
+        return tfs, gbs
+
+    def roofline_t(tfs, gbs):
+        return max(
+            model_const["flops_per_step"] / (tfs * 1e12),
+            model_const["bytes_per_step"] / (gbs * 1e9),
+        )
+
     passes = []
     overall_start = time.perf_counter()
-    for p in range(3):
-        state, step_time = measure_chain(state, budget_s=22.0)
-        entry = {"step_ms": round(step_time * 1e3, 3)}
+    for p in range(5):
+        entry = {}
         try:
-            tfs = chip_probe_tflops(reps=3, budget_s=10.0)
-            gbs = chip_probe_gbps(reps=3, budget_s=7.0)
-            entry["tflops"] = round(tfs, 1)
-            entry["gbps"] = round(gbs, 1)
+            tfs0, gbs0 = probe_pair()
+        except Exception:
+            tfs0 = gbs0 = None
+        state, step_time = measure_chain(state, budget_s=14.0)
+        entry["step_ms"] = round(step_time * 1e3, 3)
+        try:
+            tfs1, gbs1 = probe_pair()
+            if tfs0 is None:
+                tfs0, gbs0 = tfs1, gbs1
+            entry["tflops"] = round(max(tfs0, tfs1), 1)
+            entry["gbps"] = round(max(gbs0, gbs1), 1)
             if model_const:
-                roofline = max(
-                    model_const["flops_per_step"] / (tfs * 1e12),
-                    model_const["bytes_per_step"] / (gbs * 1e9),
-                )
-                entry["normalized"] = round(roofline / step_time, 4)
+                n0 = roofline_t(tfs0, gbs0) / step_time
+                n1 = roofline_t(tfs1, gbs1) / step_time
+                entry["normalized"] = round((n0 + n1) / 2, 4)
+                entry["norm_halfwidth"] = round(abs(n1 - n0) / 2, 4)
         except Exception:
             pass
         passes.append(entry)
-        if time.perf_counter() - overall_start > 110.0:
+        if time.perf_counter() - overall_start > 220.0:
             break
 
     best_step = min(p["step_ms"] for p in passes) * 1e-3
@@ -270,7 +293,7 @@ def main():
     csr_over_coo = None
     if (
         os.environ.get("GRAPHPHYSICS_BENCH_CSR", "1") != "0"
-        and time.perf_counter() - overall_start < 240.0
+        and time.perf_counter() - overall_start < 300.0
     ):
         try:
             sys.path.insert(
@@ -310,25 +333,31 @@ def main():
     if normed:
         out["vs_baseline"] = max(normed)
         out["vs_baseline_median"] = round(float(np.median(normed)), 4)
+        spread = round(float(max(normed) - min(normed)) / 2, 4)
+        widths = [p["norm_halfwidth"] for p in passes if "norm_halfwidth" in p]
+        out["vs_baseline_spread"] = round(
+            max(spread, float(np.median(widths)) if widths else 0.0), 4
+        )
         out["vs_baseline_raw_wall"] = round(vs_raw, 4)
         out["passes"] = passes
         if csr_over_coo is not None:
             out["csr_over_coo_step"] = csr_over_coo
         out["note"] = (
-            "vs_baseline = best-of-passes two-resource roofline time / "
-            "measured step time, with same-pass matmul+HBM probes (shared "
-            "chip throttles >20x and non-uniformly); 1.0 = matches the "
-            "demonstrated capability at the chip's current state. "
-            "best-of-passes systematically favors probe under-readings "
-            "(a weak probe inflates the predicted roofline time), so "
-            "vs_baseline_median is the honest central estimate — the "
-            "best/median spread is the method's noise floor (~15%). "
-            "vs_baseline_raw_wall is the unnormalized wall-time ratio; "
-            "throttled_window flags probe TF/s under 50% of the chip's "
-            "demonstrated 440. csr_over_coo_step = same-window aneurysm "
-            "train-step wall ratio, fused CSR Pallas attention over the "
-            "XLA COO path (<1 = kernel wins; in-window ratios are "
-            "throttle-independent)."
+            "vs_baseline_median = median over 5 probe-chain-probe passes of "
+            "the two-resource roofline time / measured step time; each "
+            "pass's probes BRACKET its step chain and the pass reports the "
+            "midpoint +- half-width (probe drift within a pass is the "
+            "dominant error term). vs_baseline_spread = max(half the "
+            "cross-pass range, median in-pass half-width) — the method's "
+            "defensible error bar. vs_baseline = best pass (kept for "
+            "round-over-round continuity; biased high). 1.0 = matches the "
+            "demonstrated capability at the chip's current state (shared "
+            "chip throttles >20x and non-uniformly). vs_baseline_raw_wall "
+            "is the unnormalized wall-time ratio; throttled_window flags "
+            "probe TF/s under 50% of the chip's demonstrated 440. "
+            "csr_over_coo_step = same-window aneurysm train-step wall "
+            "ratio, fused CSR Pallas attention over the XLA COO path "
+            "(<1 = kernel wins; in-window ratios are throttle-independent)."
         )
     else:
         out["vs_baseline"] = round(vs_raw, 4)
