@@ -72,6 +72,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="locality-aware node reordering before the "
                         "contiguous partition cut (shrinks halo volume; "
                         "parallel/reorder.py)")
+    p.add_argument("--no_partition_overlap_attention", action="store_true",
+                   help="disable the split-edge [local | halo] layout that "
+                        "lets the transformer's attention overlap the halo "
+                        "all_to_all with local compute (exact-parity; on "
+                        "by default for halo-mode transformer runs)")
     p.add_argument("--halo_dtype", default=None,
                    choices=["bf16", "f16", "none"],
                    help="wire dtype for the per-layer halo all_to_all "
@@ -237,6 +242,7 @@ def main(argv=None) -> int:
         partition_edge_headroom=args.partition_edge_headroom,
         partition_budget_growth=not args.no_partition_budget_growth,
         partition_reorder=args.partition_reorder,
+        partition_overlap_attention=not args.no_partition_overlap_attention,
         halo_dtype=args.halo_dtype,
         partitioned_validation=args.partitioned_validation,
         learning_rate=args.init_lr,

@@ -22,6 +22,7 @@ _META_FIELDS = (
     "partition_axis",
     "csr_max_chunks",
     "halo_dtype",
+    "num_local_edges",
 )
 
 
@@ -87,6 +88,18 @@ class Graph:
             comms term; local math stays in the compute dtype, and the
             backward cotangent ships 16-bit too). None = exchange in the
             activations' own dtype.
+        csr_bounds_halo: like ``csr_bounds`` but for the HALO slice of a
+            split-edge partitioned graph (below), with offsets relative to
+            the slice start.
+        num_local_edges: static; if set (halo-partitioned graphs built with
+            ``split_local=True``), the edge arrays are laid out
+            ``[local edges | halo edges]``: slots ``[0, num_local_edges)``
+            hold edges whose sender is a LOCAL row (ids < Nl) and the rest
+            hold edges whose sender lives in the exchange-table halo region
+            (ids >= Nl). Attention then computes the local partial softmax
+            INDEPENDENTLY of the halo ``all_to_all`` and merges online-
+            softmax stats, letting XLA overlap the collective with local
+            compute (``ops.attention``).
     """
 
     x: jax.Array
@@ -105,6 +118,8 @@ class Graph:
     partition_axis: Optional[str] = None
     csr_max_chunks: Optional[int] = None
     halo_dtype: Optional[str] = None
+    csr_bounds_halo: Optional[jax.Array] = None
+    num_local_edges: Optional[int] = None
 
     @property
     def num_nodes(self) -> int:

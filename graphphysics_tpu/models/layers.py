@@ -184,6 +184,8 @@ class Attention(nn.Module):
         csr_bounds: Optional[jax.Array] = None,
         csr_max_chunks: Optional[int] = None,
         halo_dtype: Optional[str] = None,
+        csr_bounds_halo: Optional[jax.Array] = None,
+        num_local_edges: Optional[int] = None,
     ) -> jax.Array:
         assert self.output_dim % self.num_heads == 0
         head_dim = self.output_dim // self.num_heads
@@ -242,6 +244,8 @@ class Attention(nn.Module):
             csr_bounds=csr_bounds,
             csr_max_chunks=csr_max_chunks,
             halo_dtype=halo_dtype,
+            csr_bounds_halo=csr_bounds_halo,
+            num_local_edges=num_local_edges,
         )
         # Back to the reference's flat layout: [N, H, Dh] -> (N, Dh, H) -> [N, D].
         y = y.transpose(0, 2, 1).reshape(n, self.output_dim)
@@ -275,6 +279,8 @@ class TransformerBlock(nn.Module):
         csr_bounds: Optional[jax.Array] = None,
         csr_max_chunks: Optional[int] = None,
         halo_dtype: Optional[str] = None,
+        csr_bounds_halo: Optional[jax.Array] = None,
+        num_local_edges: Optional[int] = None,
     ) -> jax.Array:
         attn = Attention(
             output_dim=self.output_dim,
@@ -296,6 +302,8 @@ class TransformerBlock(nn.Module):
             csr_bounds,
             csr_max_chunks,
             halo_dtype,
+            csr_bounds_halo,
+            num_local_edges,
         ).astype(x.dtype)
         x = x + GatedMLPBlock(
             hidden_size=self.output_dim, out_size=self.output_dim, dtype=self.dtype,

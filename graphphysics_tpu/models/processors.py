@@ -28,7 +28,8 @@ from graphphysics_tpu.models.layers import (
 # ``partition_axis`` is a mesh-axis *name* (str) — jax.checkpoint cannot
 # trace any of them as pytree leaves.
 _GNB_STATICS = (6, 8, 10)  # ell_degree, partition_axis, halo_dtype
-_TFB_STATICS = (5, 7, 10, 11)  # ell_degree, partition_axis, csr_max_chunks, halo_dtype
+# ell_degree, partition_axis, csr_max_chunks, halo_dtype, num_local_edges
+_TFB_STATICS = (5, 7, 10, 11, 13)
 
 
 class _ScannedGraphNetStack(nn.Module):
@@ -73,10 +74,11 @@ class _ScannedTransformerStack(nn.Module):
 
     csr_max_chunks: Any = None
     halo_dtype: Any = None
+    num_local_edges: Any = None
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_mask, twin_perm,
-                 halo_send_idx, csr_bounds):
+                 halo_send_idx, csr_bounds, csr_bounds_halo):
         block_cls = (
             nn.remat(TransformerBlock, static_argnums=_TFB_STATICS)
             if self.remat else TransformerBlock
@@ -90,7 +92,8 @@ class _ScannedTransformerStack(nn.Module):
             name="block",
         )(x, senders, receivers, edge_mask, self.ell_degree, twin_perm,
           self.partition_axis, halo_send_idx, csr_bounds,
-          self.csr_max_chunks, self.halo_dtype)
+          self.csr_max_chunks, self.halo_dtype, csr_bounds_halo,
+          self.num_local_edges)
         return x, None
 
 
@@ -256,8 +259,10 @@ class EncodeTransformDecode(nn.Module):
                 partition_axis=graph.partition_axis, dtype=self.dtype,
                 remat=self.remat, csr_max_chunks=graph.csr_max_chunks,
                 halo_dtype=graph.halo_dtype,
+                num_local_edges=graph.num_local_edges,
             )(x, graph.senders, graph.receivers, graph.edge_mask,
-              graph.twin_perm, graph.halo_send_idx, graph.csr_bounds)
+              graph.twin_perm, graph.halo_send_idx, graph.csr_bounds,
+              graph.csr_bounds_halo)
         else:
             block_cls = (
                 nn.remat(TransformerBlock, static_argnums=_TFB_STATICS)
@@ -283,6 +288,8 @@ class EncodeTransformDecode(nn.Module):
                     graph.csr_bounds,
                     graph.csr_max_chunks,
                     graph.halo_dtype,
+                    graph.csr_bounds_halo,
+                    graph.num_local_edges,
                 )
 
         if self.only_processor:

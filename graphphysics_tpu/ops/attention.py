@@ -20,7 +20,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from graphphysics_tpu.ops.halo import partitioned_gather
+from graphphysics_tpu.ops.halo import halo_recv, partitioned_gather
 from graphphysics_tpu.ops.ell_ops import (
     ell_gather,
     ell_repeat,
@@ -50,6 +50,8 @@ def sparse_graph_attention(
     csr_bounds: Optional[jax.Array] = None,
     csr_max_chunks: Optional[int] = None,
     halo_dtype: Optional[str] = None,
+    csr_bounds_halo: Optional[jax.Array] = None,
+    num_local_edges: Optional[int] = None,
 ) -> jax.Array:
     """Adjacency-masked attention.
 
@@ -71,6 +73,13 @@ def sparse_graph_attention(
             (``edge_layout="csr"``), softmax+SpMM run in the fused Pallas
             kernel (``ops.pallas_attention``) — same COO convention, same
             result; measured faster at large-3D-mesh scale.
+        num_local_edges/csr_bounds_halo: split-edge halo layout
+            (``partition_graph_halo_np(split_local=True)``): edge slots
+            ``[0, num_local_edges)`` have LOCAL senders and the rest halo
+            senders. The local partial softmax is computed independently of
+            the all_to_all and merged with the halo partial by the online-
+            softmax (m, l) combine, so XLA's latency-hiding scheduler can
+            bury the collective under the local attention compute.
 
     Returns:
         ``[N, H, Dh]`` attention output.
@@ -100,6 +109,13 @@ def sparse_graph_attention(
         ).reshape(e, d)
 
     if partition_axis is not None:
+        if num_local_edges is not None and halo_send_idx is not None:
+            return _overlapped_partitioned_attention(
+                q2, kv2, senders, receivers, num_nodes, edge_mask, scale,
+                partition_axis, halo_send_idx, halo_dtype,
+                csr_bounds, csr_bounds_halo, csr_max_chunks,
+                num_local_edges, h, dh, scores_of, q.dtype,
+            )
         # Edge-partitioned SPMD (parallel.graph_partition): q at LOCAL segment
         # nodes (receivers), k/v gathered at ``senders`` from the all-gathered
         # global table — or the O(boundary) halo exchange table (ops.halo) —
@@ -165,3 +181,104 @@ def sparse_graph_attention(
         weight(v_e, attn), senders, num_nodes, mask=edge_mask
     )
     return out.reshape(num_nodes, h, dh)
+
+
+_NEG = -1e30  # finite -inf stand-in, same as ops.pallas_attention._NEG
+
+
+def _partial_softmax_spmm(scores, values, seg, num_nodes, mask, h, dh):
+    """Unmerged online-softmax partial over one edge subset: per-node
+    ``(acc, m, l)`` with ``acc = sum exp(s - m) * v`` (f32). Rows with no
+    (unmasked) edges in the subset get ``m = -1e30, l = 0, acc = 0`` and
+    drop out of the merge."""
+    if mask is not None:
+        scores = jnp.where(mask[:, None], scores, _NEG)
+    m = jax.ops.segment_max(scores, seg, num_segments=num_nodes)
+    m = jnp.maximum(m, _NEG)  # empty rows: -inf -> finite floor
+    p = jnp.exp(scores - jnp.take(m, seg, axis=0))
+    if mask is not None:
+        # a row whose subset edges are ALL masked has m == _NEG, so the
+        # masked edges' exp(0) == 1 must be re-zeroed (as segment_softmax)
+        p = jnp.where(mask[:, None], p, 0.0)
+    l = jax.ops.segment_sum(p, seg, num_segments=num_nodes)  # [N, H]
+    e = values.shape[0]
+    v32 = values.astype(jnp.float32).reshape(e, h, dh)
+    weighted = (v32 * p[:, :, None]).reshape(e, h * dh)
+    acc = jax.ops.segment_sum(weighted, seg, num_segments=num_nodes)
+    return acc, m, l
+
+
+def _overlapped_partitioned_attention(
+    q2, kv2, senders, receivers, num_nodes, edge_mask, scale,
+    partition_axis, halo_send_idx, halo_dtype,
+    csr_bounds, csr_bounds_halo, csr_max_chunks,
+    num_local_edges, h, dh, scores_of, out_dtype,
+):
+    """Split-edge partitioned attention (``Graph.num_local_edges``): the
+    local-edge partial softmax reads only this device's rows — NO collective
+    in its data dependencies — while the halo-edge partial sits downstream
+    of the O(boundary) ``all_to_all`` (``ops.halo.halo_recv``); the two
+    merge with the online-softmax (m, l) combine. XLA's latency-hiding
+    scheduler can therefore run the local partial (the bulk of the edges)
+    UNDER the collective, instead of serializing every attention FLOP after
+    it as the exchange-table gather does. Exactly equals the unsplit
+    partitioned path up to fp reassociation (SURVEY §2.4 overlap item)."""
+    d = h * dh
+    nl = num_nodes
+    el = num_local_edges
+    s_loc, r_loc = senders[:el], receivers[:el]
+    s_hal = senders[el:] - nl  # exchange-table halo region -> recv row ids
+    r_hal = receivers[el:]
+    m_loc = edge_mask[:el] if edge_mask is not None else None
+    m_hal = edge_mask[el:] if edge_mask is not None else None
+
+    # local partial inputs: independent of the collective
+    q_loc = take_rows(q2, r_loc)
+    kv_loc = take_rows(kv2, s_loc)
+    scores_loc = scores_of(q_loc, kv_loc[:, :d])  # [El, H] f32
+
+    # halo partial inputs: only these depend on the all_to_all
+    recv = halo_recv(kv2, halo_send_idx, partition_axis, halo_dtype)
+    q_hal = take_rows(q2, r_hal)
+    kv_hal = take_rows(recv, s_hal)
+    scores_hal = scores_of(q_hal, kv_hal[:, :d])  # [Eh, H] f32
+
+    if csr_bounds is not None:
+        # both slices receiver-sorted with their own kernel bounds: fused
+        # Pallas softmax+SpMM per slice + exact (m, l) merge
+        from graphphysics_tpu.ops.pallas_attention import (
+            csr_softmax_spmm_pair,
+        )
+
+        seg_loc = r_loc.astype(jnp.int32)
+        seg_hal = r_hal.astype(jnp.int32)
+        v_loc, v_hal = kv_loc[:, d:], kv_hal[:, d:]
+        if m_loc is not None:
+            scores_loc = jnp.where(m_loc[:, None], scores_loc, _NEG)
+            seg_loc = jnp.where(m_loc, seg_loc, num_nodes)
+        if m_hal is not None:
+            scores_hal = jnp.where(m_hal[:, None], scores_hal, _NEG)
+            seg_hal = jnp.where(m_hal, seg_hal, num_nodes)
+        out = csr_softmax_spmm_pair(
+            scores_loc, v_loc, seg_loc, csr_bounds,
+            scores_hal, v_hal, seg_hal, csr_bounds_halo,
+            num_nodes, max_chunks=csr_max_chunks,
+        )
+        return out.reshape(num_nodes, h, dh).astype(out_dtype)
+
+    acc_l, mx_l, l_l = _partial_softmax_spmm(
+        scores_loc, kv_loc[:, d:], r_loc, num_nodes, m_loc, h, dh
+    )
+    acc_h, mx_h, l_h = _partial_softmax_spmm(
+        scores_hal, kv_hal[:, d:], r_hal, num_nodes, m_hal, h, dh
+    )
+    mx = jnp.maximum(mx_l, mx_h)
+    wl = jnp.exp(mx_l - mx)
+    wh = jnp.exp(mx_h - mx)
+    l = wl * l_l + wh * l_h  # [N, H]
+    acc = (
+        jnp.repeat(wl, dh, axis=1) * acc_l
+        + jnp.repeat(wh, dh, axis=1) * acc_h
+    )
+    out = acc / (jnp.repeat(l, dh, axis=1) + 1e-16)
+    return out.reshape(num_nodes, h, dh).astype(out_dtype)

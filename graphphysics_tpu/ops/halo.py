@@ -68,14 +68,16 @@ def stub_exchange_for_benchmark():
         _EXCHANGE_OVERRIDE = prev
 
 
-def halo_table(
+def halo_recv(
     x: jax.Array,
     halo_send_idx: jax.Array,
     axis_name: str,
     wire_dtype: Optional[str] = None,
 ) -> jax.Array:
-    """Build the exchange table ``[Nl + P*B, F]`` = local rows followed by
-    the halo rows received from each peer (peer-major, request-slot-minor).
+    """The halo rows ``[P*B, F]`` received from each peer (peer-major,
+    request-slot-minor) — the collective half of ``halo_table``, exposed
+    separately so split-edge layouts (``Graph.num_local_edges``) can keep
+    the local partial compute OUTSIDE the all_to_all's data dependencies.
 
     Args:
         x: ``[Nl, F]`` this device's node rows (inside ``shard_map``).
@@ -101,7 +103,20 @@ def halo_table(
     recv = _exchange(send, axis_name)  # [P, B, F]
     if recv.dtype != x.dtype:
         recv = jax.lax.optimization_barrier(recv).astype(x.dtype)
-    return jnp.concatenate([x, recv.reshape(p * b, x.shape[-1])], axis=0)
+    return recv.reshape(p * b, x.shape[-1])
+
+
+def halo_table(
+    x: jax.Array,
+    halo_send_idx: jax.Array,
+    axis_name: str,
+    wire_dtype: Optional[str] = None,
+) -> jax.Array:
+    """Build the exchange table ``[Nl + P*B, F]`` = local rows followed by
+    the halo rows received from each peer (see ``halo_recv``)."""
+    return jnp.concatenate(
+        [x, halo_recv(x, halo_send_idx, axis_name, wire_dtype)], axis=0
+    )
 
 
 def partitioned_gather(

@@ -406,18 +406,38 @@ def _bwd(num_nodes, bn, be, mc, sd, res, g):
     ``segment_max``/``segment_sum`` recompute like a naive VJP would need.
     """
     scores, values, segments, ml, out = res
-    e, h = scores.shape
-    d = values.shape[1]
+    h = scores.shape[1]
+    pack = _pack_node_side(ml, out, g, num_nodes, h, values.shape[1])
+    dscores, dvalues = _edge_grads(scores, values, segments, pack, num_nodes)
+    return dscores, dvalues, None, None
+
+
+csr_softmax_spmm.defvjp(_fwd, _bwd)
+
+
+def _pack_node_side(ml, out, g, num_nodes, h, d):
+    """Pack ``[m | l | delta | g]`` per node (+ an all-zero pad row serving
+    masked edges, segment == num_nodes) — the one gather the backward needs.
+    ``delta`` is the flash-attention identity ``sum_seg(attn * dattn) =
+    <out, g>`` per head at NODE granularity, because ``out = sum_seg
+    attn * v``."""
     dh = d // h
     g32 = g.astype(jnp.float32)
     delta = (out.astype(jnp.float32) * g32).reshape(num_nodes, h, dh).sum(-1)
-    # pack [m | l | delta | g] so the per-edge node-side data is ONE gather;
-    # the pad row (all zeros) serves masked edges (segment == num_nodes):
-    # attn = exp(-1e30 - 0) / (0 + eps) = 0 -> zero grads, as in the fwd.
     pack = jnp.concatenate([ml[:h].T, ml[h:].T, delta, g32], axis=1)
-    pack = jnp.concatenate(
+    return jnp.concatenate(
         [pack, jnp.zeros((1, 3 * h + d), jnp.float32)], axis=0
     )
+
+
+def _edge_grads(scores, values, segments, pack, num_nodes):
+    """Per-edge (dscores, dvalues) from the packed node-side rows: one
+    sorted gather + elementwise math. Masked edges (segment == num_nodes)
+    hit the all-zero pad row: attn = exp(-1e30 - 0) / (0 + eps) = 0 ->
+    zero grads, as in the fwd."""
+    e, h = scores.shape
+    d = values.shape[1]
+    dh = d // h
     rows = jnp.take(pack, jnp.minimum(segments, num_nodes), axis=0)  # [E, 3H+D]
     m_e = rows[:, :h]
     l_e = rows[:, h : 2 * h]
@@ -429,10 +449,108 @@ def _bwd(num_nodes, bn, be, mc, sd, res, g):
     dvalues = (attn_exp * g_e).astype(values.dtype)
     dattn = (values.astype(jnp.float32) * g_e).reshape(e, h, dh).sum(-1)
     dscores = (attn * (dattn - delta_e)).astype(scores.dtype)
-    return dscores, dvalues, None, None
+    return dscores, dvalues
 
 
-csr_softmax_spmm.defvjp(_fwd, _bwd)
+def _repeat_heads(a, dh):
+    """[H, N] head-major node stats -> [N, H*dh] head-blocked columns."""
+    return jnp.repeat(a.T, dh, axis=1)
+
+
+def _pair_impl(
+    scores_a, values_a, seg_a, bounds_a,
+    scores_b, values_b, seg_b, bounds_b,
+    num_nodes, bn, be, mc, sd,
+):
+    h = scores_a.shape[1]
+    d = values_a.shape[1]
+    dh = d // h
+    out_a, ml_a = _softmax_spmm_impl(
+        scores_a, values_a, seg_a, bounds_a, num_nodes, h, bn, be, mc,
+        stream_dtype=sd,
+    )
+    out_b, ml_b = _softmax_spmm_impl(
+        scores_b, values_b, seg_b, bounds_b, num_nodes, h, bn, be, mc,
+        stream_dtype=sd,
+    )
+    m_a, l_a = ml_a[:h], ml_a[h:]  # [H, N] f32
+    m_b, l_b = ml_b[:h], ml_b[h:]
+    # online-softmax combine of the two partials; the kernel's empty-row
+    # stats (m = -1e30, l = 0) drop out: exp(-1e30 - finite) == 0, and a
+    # row empty on BOTH sides gives 0 / eps == 0 like the single kernel.
+    m = jnp.maximum(m_a, m_b)
+    wa = jnp.exp(m_a - m)
+    wb = jnp.exp(m_b - m)
+    l = wa * l_a + wb * l_b
+    # out_i = acc_i / (l_i + eps)  =>  acc_i = out_i * (l_i + eps), exact
+    acc = _repeat_heads(wa * (l_a + 1e-16), dh) * out_a.astype(jnp.float32)
+    acc = acc + _repeat_heads(wb * (l_b + 1e-16), dh) * out_b.astype(
+        jnp.float32
+    )
+    out = (acc / (_repeat_heads(l, dh) + 1e-16)).astype(values_a.dtype)
+    return out, jnp.concatenate([m, l], axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def csr_softmax_spmm_pair(
+    scores_a: jax.Array,
+    values_a: jax.Array,
+    seg_a: jax.Array,
+    bounds_a: jax.Array,
+    scores_b: jax.Array,
+    values_b: jax.Array,
+    seg_b: jax.Array,
+    bounds_b: jax.Array,
+    num_nodes: int,
+    block_nodes: int = BLOCK_NODES,
+    block_edges: int = BLOCK_EDGES,
+    max_chunks: Optional[int] = None,
+    stream_dtype: str = "f32",
+) -> jax.Array:
+    """Fused softmax+SpMM over the UNION of two edge sets sharing the same
+    segment space, as two kernel launches + an online-softmax (m, l) merge.
+
+    Exactly equals ``csr_softmax_spmm`` on the concatenated edge list (up to
+    fp reassociation) — but the two sets' compute stays INDEPENDENT until
+    the node-level merge, which is what the split-edge partitioned layout
+    (``Graph.num_local_edges``) exploits: set *a* holds the local edges (no
+    collective in their inputs), set *b* the halo edges (downstream of the
+    all_to_all), so XLA's latency-hiding scheduler can run the entire local
+    kernel under the collective. The custom VJP is the exact combined-
+    softmax backward — per-edge math against the MERGED (m, l) stats, the
+    same segment-reduction-free form as ``csr_softmax_spmm``'s.
+    """
+    if max_chunks is None:
+        max_chunks = (
+            max(scores_a.shape[0], scores_b.shape[0]) // block_edges + 2
+        )
+    out, _ = _pair_impl(
+        scores_a, values_a, seg_a, bounds_a,
+        scores_b, values_b, seg_b, bounds_b,
+        num_nodes, block_nodes, block_edges, max_chunks, stream_dtype,
+    )
+    return out
+
+
+def _pair_fwd(sa, va, ga, ba, sb, vb, gb, bb, num_nodes, bn, be, mc, sd):
+    if mc is None:
+        mc = max(sa.shape[0], sb.shape[0]) // be + 2
+    out, ml = _pair_impl(
+        sa, va, ga, ba, sb, vb, gb, bb, num_nodes, bn, be, mc, sd
+    )
+    return out, (sa, va, ga, sb, vb, gb, ml, out)
+
+
+def _pair_bwd(num_nodes, bn, be, mc, sd, res, g):
+    sa, va, ga, sb, vb, gb, ml, out = res
+    h = sa.shape[1]
+    pack = _pack_node_side(ml, out, g, num_nodes, h, va.shape[1])
+    dsa, dva = _edge_grads(sa, va, ga, pack, num_nodes)
+    dsb, dvb = _edge_grads(sb, vb, gb, pack, num_nodes)
+    return dsa, dva, None, None, dsb, dvb, None, None
+
+
+csr_softmax_spmm_pair.defvjp(_pair_fwd, _pair_bwd)
 
 
 def csr_sparse_attention(

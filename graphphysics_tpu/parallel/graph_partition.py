@@ -173,10 +173,11 @@ def partition_graph_halo_np(
     num_parts: int,
     axis_name: str = GRAPH_AXIS,
     edge_multiple: int = 128,
-    edge_budget_local: Optional[int] = None,
+    edge_budget_local=None,
     halo_multiple: int = 8,
     halo_budget: Optional[int] = None,
     csr: bool = False,
+    split_local: bool = False,
     _requests=None,
 ) -> Graph:
     """Partition with HALO exchange: like ``partition_graph_np`` but senders
@@ -196,7 +197,21 @@ def partition_graph_halo_np(
     kernel: per-part receiver-sorted edges + per-part ``csr_bounds`` (see
     ``partition_graph_np``), with the remapped senders following the same
     per-part edge order.
+
+    ``split_local=True`` lays each part's edges out ``[local | halo]``
+    (``Graph.num_local_edges``): slots whose sender is a local row come
+    first, edges needing halo rows after — each slice receiver-sorted (and
+    with its own kernel bounds) under ``csr``. Attention then computes the
+    local partial softmax independently of the ``all_to_all`` and merges
+    online-softmax stats (``ops.attention``), so XLA can overlap the
+    collective with the local attention compute. ``edge_budget_local`` is
+    then a ``(local, halo)`` pair of per-part slot budgets.
     """
+    if split_local:
+        return _partition_halo_split(
+            graph, num_parts, axis_name, edge_multiple, edge_budget_local,
+            halo_multiple, halo_budget, csr, _requests,
+        )
     base = partition_graph_np(
         graph, num_parts, axis_name, edge_multiple, edge_budget_local, csr=csr
     )
@@ -254,6 +269,163 @@ def partition_graph_halo_np(
         s_new[p, :k] = out
 
     return base.replace(senders=s_new, halo_send_idx=halo_send)
+
+
+def _partition_halo_split(
+    graph: Graph,
+    num_parts: int,
+    axis_name: str,
+    edge_multiple: int,
+    edge_budget_local,
+    halo_multiple: int,
+    halo_budget: Optional[int],
+    csr: bool,
+    _requests,
+) -> Graph:
+    """``partition_graph_halo_np(split_local=True)`` body: the ``[local |
+    halo]`` split-edge layout (see that docstring). Built directly rather
+    than by remapping ``partition_graph_np``'s output because the edge
+    ORDER differs (two separately-sorted slices instead of one)."""
+    if graph.partition_axis is not None:
+        raise ValueError("graph is already partitioned")
+    if graph.ell_degree is not None:
+        raise ValueError("partitioning expects the COO layout")
+    n = graph.num_nodes
+    if n % num_parts:
+        raise ValueError(f"num_nodes {n} not divisible by {num_parts} parts")
+    nl = n // num_parts
+
+    senders_g = np.asarray(graph.senders)
+    receivers_g = np.asarray(graph.receivers)
+    edge_mask_g = np.asarray(graph.edge_mask)
+    part_of_edge = receivers_g // nl
+
+    if _requests is not None:
+        requests, max_req = _requests
+    else:
+        requests, max_req = _halo_requests(
+            senders_g, part_of_edge, edge_mask_g, nl, num_parts
+        )
+    b = halo_budget or max(halo_multiple, round_up(max_req, halo_multiple))
+    if max_req > b:
+        raise ValueError(f"halo_budget {b} < max boundary rows {max_req}")
+    halo_send = np.zeros((num_parts, num_parts, b), np.int32)
+    for p in range(num_parts):
+        for q in range(num_parts):
+            req = requests[p][q]
+            halo_send[q, p, : len(req)] = req
+
+    # per-part (local, halo) edge index lists, each in the canonical slice
+    # order (receiver-sorted under csr, input order otherwise)
+    locs, hals = [], []
+    for p in range(num_parts):
+        idx = np.flatnonzero(edge_mask_g & (part_of_edge == p))
+        owners = senders_g[idx] // nl
+        loc, hal = idx[owners == p], idx[owners != p]
+        if csr:
+            loc = loc[np.argsort(receivers_g[loc], kind="stable")]
+            hal = hal[np.argsort(receivers_g[hal], kind="stable")]
+        locs.append(loc)
+        hals.append(hal)
+
+    if edge_budget_local is not None:
+        el, eh = edge_budget_local
+    else:
+        el = round_up(max(len(l) for l in locs), edge_multiple)
+        eh = round_up(
+            max(max(len(h) for h in hals), 1), edge_multiple
+        )
+    if max(len(l) for l in locs) > el or max(len(h) for h in hals) > eh:
+        raise ValueError(
+            f"edge budgets (local {el}, halo {eh}) < max part edges "
+            f"({max(len(l) for l in locs)}, {max(len(h) for h in hals)})"
+        )
+    e_tot = el + eh
+
+    def node_field(a):
+        if a is None:
+            return None
+        a = np.asarray(a)
+        return a.reshape((num_parts, nl) + a.shape[1:])
+
+    s_p = np.zeros((num_parts, e_tot), np.int32)
+    r_p = np.full((num_parts, e_tot), nl - 1, np.int32)
+    m_p = np.zeros((num_parts, e_tot), bool)
+    ea = None if graph.edge_attr is None else np.asarray(graph.edge_attr)
+    ea_p = (
+        None
+        if ea is None
+        else np.zeros((num_parts, e_tot, ea.shape[1]), ea.dtype)
+    )
+    bounds_loc = bounds_hal = None
+    max_chunks = None
+    if csr:
+        from graphphysics_tpu.ops.pallas_attention import (
+            compute_block_bounds,
+            compute_max_chunks_bounds,
+        )
+    for p in range(num_parts):
+        loc, hal = locs[p], hals[p]
+        kl, kh = len(loc), len(hal)
+        # local slice: senders are LOCAL row ids; padding is a self-loop on
+        # the part's last local row (mask-excluded; keeps the CSR receiver
+        # sort ascending)
+        s_p[p, :el] = nl - 1
+        s_p[p, :kl] = senders_g[loc] - p * nl
+        r_p[p, :kl] = receivers_g[loc] - p * nl
+        m_p[p, :kl] = True
+        # halo slice: senders index the exchange table's halo region
+        # (nl + q*b + request slot); padding points at the first halo row
+        # (any in-range value — excluded by edge_mask)
+        s_p[p, el:] = nl
+        s_glob = senders_g[hal]
+        owners = s_glob // nl
+        local = (s_glob - owners * nl).astype(np.int64)
+        out = np.full(kh, nl, np.int32)
+        for q in range(num_parts):
+            if q == p:
+                continue
+            sel = owners == q
+            if not sel.any():
+                continue
+            slots = np.searchsorted(requests[p][q], local[sel])
+            out[sel] = nl + q * b + slots
+        s_p[p, el : el + kh] = out
+        r_p[p, el : el + kh] = receivers_g[hal] - p * nl
+        m_p[p, el : el + kh] = True
+        if ea_p is not None:
+            ea_p[p, :kl] = ea[loc]
+            ea_p[p, el : el + kh] = ea[hal]
+        if csr:
+            bl = compute_block_bounds(r_p[p, :el], nl, num_real_edges=kl)
+            bh = compute_block_bounds(r_p[p, el:], nl, num_real_edges=kh)
+            mc = max(
+                compute_max_chunks_bounds(bl), compute_max_chunks_bounds(bh)
+            )
+            if bounds_loc is None:
+                bounds_loc = np.zeros((num_parts,) + bl.shape, np.int32)
+                bounds_hal = np.zeros((num_parts,) + bh.shape, np.int32)
+            bounds_loc[p] = bl
+            bounds_hal[p] = bh
+            max_chunks = mc if max_chunks is None else max(max_chunks, mc)
+
+    return Graph(
+        x=node_field(graph.x),
+        pos=node_field(graph.pos),
+        senders=s_p,
+        receivers=r_p,
+        edge_attr=ea_p,
+        node_mask=node_field(graph.node_mask),
+        edge_mask=m_p,
+        y=node_field(graph.y),
+        exclude_mask=node_field(graph.exclude_mask),
+        partition_axis=axis_name,
+        halo_send_idx=halo_send,
+        csr_bounds=bounds_loc,
+        csr_bounds_halo=bounds_hal,
+        csr_max_chunks=max_chunks,
+        num_local_edges=el,
+    )
 
 
 def unpartition_rows(stacked: np.ndarray) -> np.ndarray:

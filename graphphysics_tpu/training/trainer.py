@@ -69,6 +69,7 @@ class Trainer:
         partition_edge_headroom: float = 1.25,
         partition_budget_growth: bool = True,
         partition_reorder: Optional[str] = None,
+        partition_overlap_attention: bool = True,
         halo_dtype: Optional[str] = None,
         partitioned_validation: bool = False,
         num_devices: Optional[int] = None,
@@ -145,6 +146,13 @@ class Trainer:
                 f"(rcm | bfs | hilbert)"
             )
         self.partition_reorder = partition_reorder
+        # split-edge halo layout for the transformer path (graph_partition +
+        # partition_mode="halo" + EncodeTransformDecode): edges lay out
+        # [local | halo] so attention computes the local partial softmax
+        # independently of the all_to_all and merges online-softmax stats —
+        # XLA can overlap the collective with the bulk of the attention
+        # compute (ops/attention.py; exact-parity vs the unsplit layout).
+        self.partition_overlap_attention = bool(partition_overlap_attention)
         # wire dtype for the per-layer halo all_to_all ("bf16" halves the
         # dominant multi-chip comms bytes; local math stays f32 — see
         # ops/halo.halo_table). Only meaningful with partition_mode="halo".
@@ -508,6 +516,21 @@ class Trainer:
                     probe, csr=csr
                 )
 
+    def _split_attention(self) -> bool:
+        # True when partitioned batches should use the split-edge
+        # [local | halo] layout (partition_graph_halo_np(split_local=True)):
+        # halo mode + transformer model + the knob on. The split is
+        # exact-parity and lets XLA overlap the halo all_to_all with the
+        # local attention partial; EPD keeps the plain layout (its
+        # GraphNetBlock already overlaps via the SplitDense edge MLP).
+        from graphphysics_tpu.models.processors import EncodeTransformDecode
+
+        return (
+            self.partition_overlap_attention
+            and self.partition_mode == "halo"
+            and isinstance(self.sim.model, EncodeTransformDecode)
+        )
+
     def _trial_budgets(self, g: Graph, csr: Optional[bool] = None):
         """(edge_budget, halo_budget, csr_max_chunks) from a trial partition
         of ``g`` with the configured headroom. ``csr_max_chunks`` (CSR
@@ -526,13 +549,22 @@ class Trainer:
         halo = self.partition_mode == "halo"
         if csr is None:
             csr = g.csr_bounds is not None
+        split = self._split_attention()
         trial = (
-            partition_graph_halo_np(g, parts, csr=csr)
+            partition_graph_halo_np(g, parts, csr=csr, split_local=split)
             if halo
             else partition_graph_np(g, parts, csr=csr)
         )
         h = self.partition_edge_headroom
-        eb = round_up(int(trial.senders.shape[1] * h), 128)
+        if split:
+            el = trial.num_local_edges
+            eh = trial.senders.shape[1] - el
+            eb = (
+                round_up(int(el * h), 128),
+                round_up(int(eh * h), 128),
+            )
+        else:
+            eb = round_up(int(trial.senders.shape[1] * h), 128)
         hb = (
             round_up(int(trial.halo_send_idx.shape[2] * h), 8)
             if halo
@@ -612,10 +644,13 @@ class Trainer:
             self._part_budgets[size_key] = self._trial_budgets(g, csr=csr)
         eb, hb, mc = self._part_budgets[size_key]
 
+        split = self._split_attention()
+
         def attempt(eb, hb, mc):
             if halo:
                 part = partition_graph_halo_np(
-                    g, parts, edge_budget_local=eb, halo_budget=hb, csr=csr
+                    g, parts, edge_budget_local=eb, halo_budget=hb, csr=csr,
+                    split_local=split,
                 )
             else:
                 part = partition_graph_np(
@@ -639,8 +674,13 @@ class Trainer:
                 # budgets that fit THIS batch (x headroom), merged monotone
                 # with the cached ones so earlier shapes keep compiling
                 neb, nhb, nmc = self._trial_budgets(g, csr=csr)
+                geb = (
+                    tuple(max(a, b) for a, b in zip(eb, neb))
+                    if isinstance(eb, tuple)
+                    else max(eb, neb)
+                )
                 grown = (
-                    max(eb, neb),
+                    geb,
                     max(hb, nhb) if hb is not None else nhb,
                     max(mc, nmc) if mc is not None else nmc,
                 )
