@@ -36,6 +36,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--rollout", action="store_true",
                    help="also export the whole-trajectory rollout scan "
                         "(one artifact per trajectory length)")
+    p.add_argument("--graph_partition", type=int, default=0,
+                   help="also export the EDGE-PARTITIONED eval forward over "
+                        "a P-device graph mesh (halo collectives inside; "
+                        "serving for meshes past one chip's HBM)")
     p.add_argument("--platforms", default=None,
                    help="comma list of lowering platforms (e.g. tpu,cpu); "
                         "default: the current backend")
@@ -46,6 +50,8 @@ def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     with open(args.training_parameters_path) as fp:
         parameters = json.load(fp)
+
+    import jax
 
     from graphphysics_tpu.cli.train import _extra_features
     from graphphysics_tpu.dataset import GraphLoader
@@ -99,6 +105,35 @@ def main(argv=None) -> int:
         fp.write(blob)
     print(f"[export] eval step -> {eval_path} ({len(blob)} bytes, "
           f"{example.num_nodes} nodes / {example.num_edges} edges)")
+
+    if args.graph_partition:
+        from graphphysics_tpu.parallel import make_mesh
+        from graphphysics_tpu.parallel.mesh import GRAPH_AXIS
+        from graphphysics_tpu.utils.export import (
+            export_partitioned_eval_step,
+        )
+        import numpy as np
+
+        ptrainer = Trainer(
+            parameters, graph_partition=args.graph_partition, **prev_kwargs
+        )
+        ptrainer.sim = trainer.sim
+        parts = ptrainer._partition_graph(
+            jax.tree_util.tree_map(np.asarray, example)
+        )
+        pmesh = make_mesh(args.graph_partition, (GRAPH_AXIS,))
+        part_path = os.path.join(
+            args.output_dir, f"eval_step_p{args.graph_partition}.stablehlo"
+        )
+        blob = export_partitioned_eval_step(
+            trainer.sim, variables,
+            jax.tree_util.tree_map(np.asarray, parts), pmesh,
+            platforms=platforms,
+        )
+        with open(part_path, "wb") as fp:
+            fp.write(blob)
+        print(f"[export] partitioned eval (P={args.graph_partition}) -> "
+              f"{part_path} ({len(blob)} bytes)")
 
     if args.rollout:
         frames = trainer._stacked_trajectory(ds, 0)

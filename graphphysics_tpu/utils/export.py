@@ -159,6 +159,109 @@ def load_rollout(blob: bytes) -> Callable:
     return run
 
 
+def export_partitioned_eval_step(
+    sim,
+    variables,
+    parts_example,
+    mesh,
+    graph_axis: str = "graph",
+    platforms: Optional[Sequence[str]] = None,
+    with_sample_rng: Optional[bool] = None,
+) -> bytes:
+    """Serialize the EDGE-PARTITIONED eval forward — the shard_map over a
+    ``graph`` mesh with the per-layer halo/all_gather collectives inside
+    (``parallel.dp.graph_parallel_forward``) — to one multi-device StableHLO
+    artifact.
+
+    This is the serving path for meshes past one chip's HBM (the 1M-node
+    rows of ``benchmarks/max_scale.py``): the artifact records the mesh's
+    device count and the leaves' shardings, and ``load_partitioned_eval_
+    step`` invokes it on any mesh of the same size (CPU-mesh verifiable).
+    The reference's serving path is single-device Python re-loading
+    (``graphphysics/predict.py:32-114``); this has no analog there.
+
+    The exported callable takes the partitioned Graph's ``[P, ...]`` array
+    leaves (sharded on the graph axis) and returns ``[P, Nl, output_size]``
+    node-wise predictions. GMM models take a leading PRNGKey, folded per
+    shard like ``parallel.dp.partitioned_rollout``.
+    """
+    import jax.numpy as jnp  # noqa: F401
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from jax import export as jax_export
+
+    leaves, treedef = jax.tree_util.tree_flatten(parts_example)
+    if with_sample_rng is None:
+        with_sample_rng = _needs_sample_rng(sim)
+    sh = NamedSharding(mesh, P(graph_axis))
+    rep = NamedSharding(mesh, P())
+
+    def per_shard(key, stacked):
+        g = jax.tree_util.tree_unflatten(
+            treedef, jax.tree_util.tree_leaves(stacked)
+        )
+        g = jax.tree_util.tree_map(lambda a: a[0], g)
+        if key is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(graph_axis))
+            _, _, predicted = sim.apply(
+                variables, g, is_training=False, rngs={"sample": key}
+            )
+        else:
+            _, _, predicted = sim.apply(variables, g, is_training=False)
+        return predicted[None]
+
+    if with_sample_rng:
+
+        def f(key, *graph_leaves):
+            stacked = jax.tree_util.tree_unflatten(treedef, list(graph_leaves))
+            return shard_map(
+                lambda k, s: per_shard(k, s), mesh=mesh,
+                in_specs=(P(), P(graph_axis)), out_specs=P(graph_axis),
+                check_vma=False,
+            )(key, stacked)
+
+        args = (
+            jax.device_put(jax.random.PRNGKey(0), rep),
+            *[jax.device_put(a, sh) for a in leaves],
+        )
+    else:
+
+        def f(*graph_leaves):
+            stacked = jax.tree_util.tree_unflatten(treedef, list(graph_leaves))
+            return shard_map(
+                lambda s: per_shard(None, s), mesh=mesh,
+                in_specs=(P(graph_axis),), out_specs=P(graph_axis),
+                check_vma=False,
+            )(stacked)
+
+        args = tuple(jax.device_put(a, sh) for a in leaves)
+
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    exported = jax_export.export(jax.jit(f), **kwargs)(*args)
+    return exported.serialize()
+
+
+def load_partitioned_eval_step(blob: bytes) -> Callable:
+    """Deserialize an ``export_partitioned_eval_step`` artifact into
+    ``step(parts_graph, key=None) -> [P, Nl, d]``. The caller must place
+    the partitioned Graph's leaves on a mesh with the artifact's device
+    count, sharded on the graph axis (``parallel.shard_batch``)."""
+    from jax import export as jax_export
+
+    exported = jax_export.deserialize(bytearray(blob))
+
+    def step(parts_graph, key=None):
+        leaves = jax.tree_util.tree_leaves(parts_graph)
+        args = leaves if key is None else [key, *leaves]
+        return exported.call(*args)
+
+    step.nr_devices = exported.nr_devices
+    return step
+
+
 def save_eval_step(path: str, sim, variables, example_graph, **kwargs) -> str:
     """Export and write the serving artifact to ``path``."""
     blob = export_eval_step(sim, variables, example_graph, **kwargs)
