@@ -28,6 +28,11 @@ def main():
     p.add_argument("--message_passing", type=int, default=15)
     p.add_argument("--batch_size", type=int, default=2)
     p.add_argument("--workdir", default=None)
+    p.add_argument("--graph_partition", type=int, default=0,
+                   help="train edge-partitioned over a P-device graph mesh "
+                        "(halo mode, GraphNetBlock overlap_exchange ON)")
+    p.add_argument("--halo_dtype", default=None, choices=["bf16", "f16"],
+                   help="16-bit halo wire (with --graph_partition)")
     args = p.parse_args()
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="cylinder_fidelity_")
@@ -113,6 +118,8 @@ def main():
         metrics_path=os.path.join(workdir, "metrics.csv"),
         rollout_dir=None,
         log_every=50,
+        graph_partition=args.graph_partition,
+        halo_dtype=args.halo_dtype,
     )
 
     # context baseline: velocity frozen at each trajectory's first frame,
@@ -130,6 +137,8 @@ def main():
         "epochs": args.epochs,
         "minutes": round(minutes, 1),
         "workdir": workdir,
+        "graph_partition": args.graph_partition,
+        "halo_dtype": args.halo_dtype,
     }
     print(json.dumps(out, indent=2))
     return out

@@ -86,7 +86,7 @@ def cost_units(e, n):
     return EDGE_WEIGHT * e + n
 
 
-def project(g, parts_list, reorder="hilbert", headroom=1.25):
+def project(g, parts_list, reorder="hilbert", headroom=1.25, measured=None):
     from graphphysics_tpu.core.graph import round_up
 
     perm = locality_permutation(
@@ -116,11 +116,21 @@ def project(g, parts_list, reorder="hilbert", headroom=1.25):
         t_comp = T_REF_MS * cost_units(e_budget, nl) / cost_units(
             E_REF, N_REF
         )
+        entry = {"P": p, "t1_ms": round(t1, 3),
+                 "t_comp_ms": round(t_comp, 3)}
+        # MEASURED compute (benchmarks/ici_tcomp_measure.py): the per-part
+        # step executed on the REAL chip with the exchange stubbed; the
+        # in-window ratio t_comp(P)/t_comp(1) replaces the MAC-linearity
+        # assumption — the analytic column stays for comparison. Small-
+        # shape inefficiency at high P shows up here and nowhere else.
+        if measured is not None and p in measured:
+            t_comp = t1 * measured[p]
+            entry["t_comp_measured_ratio"] = round(measured[p], 4)
+            entry["t_comp_measured_ms"] = round(t_comp, 3)
         # likewise the uniform all_to_all ships the full headroomed wire
         # budget per pair regardless of real boundary content
         wire_budget = round_up(int(hv["halo_budget"] * headroom), 8)
-        entry = {"P": p, "halo_budget": wire_budget,
-                 "t1_ms": round(t1, 3), "t_comp_ms": round(t_comp, 3)}
+        entry["halo_budget"] = wire_budget
         for wire, wb in (("f32", 4), ("bf16", 2)):
             bytes_layer = (p - 1) * wire_budget * HIDDEN * wb
             for bw_label, bw_gbps in (
@@ -131,9 +141,17 @@ def project(g, parts_list, reorder="hilbert", headroom=1.25):
                 eff = t1 / (p * (t_comp + t_comm))
                 entry[f"t_comm_{wire}_{bw_label}_ms"] = round(t_comm, 3)
                 entry[f"eff_{wire}_{bw_label}"] = round(eff, 3)
+                # overlap mode (split-edge attention / SplitDense edge MLP,
+                # ops/attention.py + models/layers.py): each layer's
+                # collective hides under the local partial compute, so the
+                # per-layer cost tends to max(t_comp, t_comm) instead of
+                # the sum — the upper bound of XLA's latency-hiding win
+                eff_ov = t1 / (p * max(t_comp, t_comm))
+                entry[f"eff_{wire}_{bw_label}_overlap"] = round(eff_ov, 3)
         rows.append(entry)
     return {"nodes": n, "edges": e, "t1_ms": round(t1, 3),
-            "reorder": reorder, "rows": rows}
+            "reorder": reorder, "rows": rows,
+            "compute_term": ("measured" if measured else "analytic")}
 
 
 def main():
@@ -148,11 +166,32 @@ def main():
                     help="partition_edge_headroom applied to both the "
                          "per-part edge budget and the halo wire budget "
                          "(Trainer default 1.25)")
+    ap.add_argument("--measured", default=None,
+                    help="JSONL from benchmarks/ici_tcomp_measure.py: use "
+                         "the measured in-window t_comp(P)/t_comp(1) ratios "
+                         "as the compute term instead of the MAC-ratio "
+                         "extrapolation (analytic column kept)")
     args = ap.parse_args()
+
+    measured = None
+    if args.measured:
+        measured = {}
+        with open(args.measured) as f:
+            for line in f:
+                row = json.loads(line)
+                if row.get("event") == "summary":
+                    for r in row["rows"]:
+                        # prefer the probe-normalized ratio: the chip's
+                        # throttle drifts across the minutes between configs
+                        ratio = r.get("ratio_vs_p1_probe_norm") or r.get(
+                            "ratio_vs_p1"
+                        )
+                        if ratio:
+                            measured[int(r["P"])] = float(ratio)
 
     lcm = int(np.lcm.reduce(args.parts))
     g = build_graph(args.n, args.shuffled, parts_lcm=lcm)
-    out = project(g, args.parts, headroom=args.headroom)
+    out = project(g, args.parts, headroom=args.headroom, measured=measured)
     out["assumptions"] = {
         "t_ref_ms": T_REF_MS, "e_ref": E_REF, "n_ref": N_REF,
         "layers": LAYERS, "hidden": HIDDEN,
@@ -166,17 +205,21 @@ def main():
                 "max(t_comp, t_comm)).",
     }
 
-    hdr = (f"{'P':>3} {'halo_B':>7} {'t_comp':>8} "
+    hdr = (f"{'P':>3} {'halo_B':>7} {'t_comp':>8} {'t_meas':>8} "
            f"{'comm f32':>9} {'comm bf16':>9} "
-           f"{'eff f32':>8} {'eff bf16':>8}   (all-links bound)")
+           f"{'eff f32':>8} {'eff bf16':>8} {'eff ovl':>8}  (all-links)")
     print(f"# {out['nodes']} nodes / {out['edges']} edges, "
-          f"t1 = {out['t1_ms']} ms ({out['reorder']} reorder)")
+          f"t1 = {out['t1_ms']} ms ({out['reorder']} reorder, "
+          f"{out['compute_term']} compute)")
     print(hdr)
     for r in out["rows"]:
+        tm = r.get("t_comp_measured_ms", "-")
         print(f"{r['P']:>3} {r['halo_budget']:>7} {r['t_comp_ms']:>8} "
+              f"{tm:>8} "
               f"{r['t_comm_f32_alllinks_ms']:>9} "
               f"{r['t_comm_bf16_alllinks_ms']:>9} "
-              f"{r['eff_f32_alllinks']:>8} {r['eff_bf16_alllinks']:>8}")
+              f"{r['eff_f32_alllinks']:>8} {r['eff_bf16_alllinks']:>8} "
+              f"{r['eff_bf16_alllinks_overlap']:>8}")
     print(json.dumps(out))
 
 
