@@ -169,6 +169,27 @@ def measure_config(g, model_kind, out_dim, edge_feats, parts, headroom,
     receivers_g = np.asarray(g.receivers)
     edge_mask_g = np.asarray(g.edge_mask)
 
+    from graphphysics_tpu.utils.profiling import fetch_sync
+
+    def fresh_state():
+        return {
+            "params": jax.tree_util.tree_map(jnp.array, variables["params"]),
+            "normalizer": jax.tree_util.tree_map(
+                jnp.array, variables["normalizer"]
+            ),
+            "opt_state": tx.init(jax.tree_util.tree_map(
+                jnp.array, variables["params"]
+            )),
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    # ---- phase A: partition + compile every P up front --------------------
+    # The chip's throttle RAMPS across the minutes of compile (observed 2x
+    # within one run); ratios are only trustworthy when the configs they
+    # compare run back-to-back. So: compile everything first, then measure
+    # the configs INTERLEAVED in rounds — each round's ratios share one
+    # window (plus probe stamps to flag residual drift).
+    prepared = []
     for p in parts:
         nl = nl_all[p]
         t0 = time.time()
@@ -192,9 +213,7 @@ def measure_config(g, model_kind, out_dim, edge_feats, parts, headroom,
             split_local=split, _requests=requests,
         )
         host_s = time.time() - t0
-        shard = jax.tree_util.tree_map(
-            jnp.asarray, one_part_shard(part)
-        )
+        shard = jax.tree_util.tree_map(jnp.asarray, one_part_shard(part))
         shard = shard_batch(shard, mesh1, GRAPH_AXIS)
 
         entry = {
@@ -203,43 +222,20 @@ def measure_config(g, model_kind, out_dim, edge_feats, parts, headroom,
             "halo_budget": hb, "csr": csr, "split": split,
             "headroom": headroom, "host_partition_s": round(host_s, 1),
         }
-        # bracket each config with chip probes: the throttle drifts across
-        # the minutes of compile between configs, so cross-config ratios
-        # must be probe-normalized (bench.py's probe-chain-probe pairing)
-        entry["probe_tflops_pre"] = _probe_tflops()
         try:
-            state = {
-                "params": jax.tree_util.tree_map(
-                    jnp.array, variables["params"]
-                ),
-                "normalizer": jax.tree_util.tree_map(
-                    jnp.array, variables["normalizer"]
-                ),
-                "opt_state": tx.init(jax.tree_util.tree_map(
-                    jnp.array, variables["params"]
-                )),
-                "step": jnp.zeros((), jnp.int32),
-            }
+            state = fresh_state()
             with stub_exchange_for_benchmark():
                 t0 = time.time()
                 state, loss = step(state, shard)  # compile + 1st step
-                from graphphysics_tpu.utils.profiling import fetch_sync
-
                 fetch_sync(loss, state)
                 entry["compile_s"] = round(time.time() - t0, 1)
-                # adaptive chain length within the time budget
                 t0 = time.time()
                 state, loss = step(state, shard)
                 fetch_sync(loss, state)
                 est = max(time.time() - t0, 1e-4)
-                it = max(3, min(iters, int(budget_s / est)))
-                sec, _ = time_chained_steps(
-                    step, state, shard, iters=it, warmup=1
-                )
-            entry["t_comp_ms"] = round(sec * 1e3, 3)
-            entry["iters"] = it
+            entry["est_ms"] = round(est * 1e3, 3)
             entry["loss_finite"] = bool(np.isfinite(float(loss)))
-            entry["probe_tflops_post"] = _probe_tflops()
+            prepared.append([p, est, state, shard])
         except Exception as exc:  # OOM through the tunnel = HTTP 500 / hbm
             msg = str(exc)
             kind = (
@@ -250,6 +246,27 @@ def measure_config(g, model_kind, out_dim, edge_feats, parts, headroom,
             )
             entry[kind] = msg[:300]
         yield entry
+
+    # ---- phase B: interleaved measurement rounds --------------------------
+    rounds = 3
+    per_slot_s = budget_s / max(rounds * max(len(prepared), 1), 1)
+    for rnd in range(rounds):
+        round_entry = {
+            "event": "round", "idx": rnd,
+            "probe_tflops_pre": _probe_tflops(), "t_ms": {},
+        }
+        for rec in prepared:
+            p, est, state, shard = rec
+            it = max(2, min(iters, int(per_slot_s / max(est, 1e-4))))
+            with stub_exchange_for_benchmark():
+                sec, state = time_chained_steps(
+                    step, state, shard, iters=it, warmup=1
+                )
+            rec[1] = sec  # refine the estimate with the live reading
+            rec[2] = state
+            round_entry["t_ms"][str(p)] = round(sec * 1e3, 3)
+        round_entry["probe_tflops_post"] = _probe_tflops()
+        yield round_entry
 
 
 def main():
@@ -317,38 +334,36 @@ def main():
         rows.append(entry)
         emit(entry)
 
-    t1 = next(
-        (r["t_comp_ms"] for r in rows if r["P"] == 1 and "t_comp_ms" in r),
-        None,
-    )
+    cfg_rows = [r for r in rows if "P" in r]
+    round_rows = [r for r in rows if r.get("event") == "round"]
     summary = {
         "event": "summary", "model": args.model, "nodes": int(g.num_nodes),
         "headroom": args.headroom, "split": args.split,
         "probe_tflops_end": _probe_tflops(),
         "rows": [
             {k: r.get(k) for k in
-             ("P", "t_comp_ms", "edge_budget", "halo_budget", "oom", "error")}
-            for r in rows
+             ("P", "est_ms", "edge_budget", "halo_budget", "oom", "error")}
+            for r in cfg_rows
         ],
     }
-    def probe_of(r):
-        pre, post = r.get("probe_tflops_pre"), r.get("probe_tflops_post")
-        vals = [v for v in (pre, post) if v]
-        return sum(vals) / len(vals) if vals else None
-
-    base = next((r for r in rows if r["P"] == 1 and "t_comp_ms" in r), None)
-    if base:
-        t1p, p1p = base["t_comp_ms"], probe_of(base)
-        for full, r in zip(rows, summary["rows"]):
-            if full.get("t_comp_ms"):
-                r["ratio_vs_p1"] = round(full["t_comp_ms"] / t1p, 4)
-                pp = probe_of(full)
-                if pp and p1p:
-                    # probe-normalized: scale each config's wall to the
-                    # P=1 window's chip state (throughput ∝ probe)
-                    r["ratio_vs_p1_probe_norm"] = round(
-                        full["t_comp_ms"] * pp / (t1p * p1p), 4
-                    )
+    # per-round SAME-WINDOW ratios t(P)/t(1); median across rounds is the
+    # reported number, min/max across rounds the spread
+    for r in summary["rows"]:
+        p = str(r["P"])
+        ratios = [
+            rr["t_ms"][p] / rr["t_ms"]["1"]
+            for rr in round_rows
+            if p in rr["t_ms"] and "1" in rr["t_ms"]
+        ]
+        times = [rr["t_ms"][p] for rr in round_rows if p in rr["t_ms"]]
+        if times:
+            r["t_comp_ms"] = round(float(np.median(times)), 3)
+        if ratios:
+            r["ratio_vs_p1"] = round(float(np.median(ratios)), 4)
+            r["ratio_spread"] = [
+                round(float(np.min(ratios)), 4),
+                round(float(np.max(ratios)), 4),
+            ]
     emit(summary)
     if sink:
         sink.close()
