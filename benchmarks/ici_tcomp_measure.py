@@ -346,20 +346,27 @@ def main():
             for r in cfg_rows
         ],
     }
-    # per-round SAME-WINDOW ratios t(P)/t(1); median across rounds is the
-    # reported number, min/max across rounds the spread
+    # per-round SAME-WINDOW ratios t(P)/t(base); base = smallest P that
+    # fit (P=1 at 1M-node scale OOMs — the whole point of partitioning).
+    # Median across rounds is the reported number, min/max the spread.
+    measured_ps = sorted(
+        {int(k) for rr in round_rows for k in rr["t_ms"]}
+    )
+    base_p = str(measured_ps[0]) if measured_ps else None
+    summary["ratio_base_P"] = int(base_p) if base_p else None
     for r in summary["rows"]:
         p = str(r["P"])
         ratios = [
-            rr["t_ms"][p] / rr["t_ms"]["1"]
+            rr["t_ms"][p] / rr["t_ms"][base_p]
             for rr in round_rows
-            if p in rr["t_ms"] and "1" in rr["t_ms"]
+            if base_p and p in rr["t_ms"] and base_p in rr["t_ms"]
         ]
         times = [rr["t_ms"][p] for rr in round_rows if p in rr["t_ms"]]
         if times:
             r["t_comp_ms"] = round(float(np.median(times)), 3)
         if ratios:
-            r["ratio_vs_p1"] = round(float(np.median(ratios)), 4)
+            key = "ratio_vs_p1" if base_p == "1" else "ratio_vs_base"
+            r[key] = round(float(np.median(ratios)), 4)
             r["ratio_spread"] = [
                 round(float(np.min(ratios)), 4),
                 round(float(np.max(ratios)), 4),
