@@ -181,10 +181,12 @@ def main():
                 row = json.loads(line)
                 if row.get("event") == "summary":
                     for r in row["rows"]:
-                        # prefer the probe-normalized ratio: the chip's
-                        # throttle drifts across the minutes between configs
-                        ratio = r.get("ratio_vs_p1_probe_norm") or r.get(
-                            "ratio_vs_p1"
+                        if r.get("split"):
+                            continue  # plain layout is the canonical term
+                        # same-window interleaved-round median (new format);
+                        # probe-normalized fallback for older files
+                        ratio = r.get("ratio_vs_p1") or r.get(
+                            "ratio_vs_p1_probe_norm"
                         )
                         if ratio:
                             measured[int(r["P"])] = float(ratio)

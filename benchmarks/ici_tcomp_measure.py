@@ -85,8 +85,11 @@ def one_part_shard(part, p_index=0):
 
 
 def measure_config(g, model_kind, out_dim, edge_feats, parts, headroom,
-                   csr, split, iters, budget_s):
-    """Yield one result dict per P."""
+                   csr, split_modes, iters, budget_s):
+    """Yield one result dict per (P, split-mode); ``split_modes`` e.g.
+    ``[False]`` or ``[False, True]`` — with both, the plain and split-edge
+    layouts interleave in the SAME measurement rounds, giving a same-window
+    split-vs-unsplit comparison per P."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -191,61 +194,63 @@ def measure_config(g, model_kind, out_dim, edge_feats, parts, headroom,
     # window (plus probe stamps to flag residual drift).
     prepared = []
     for p in parts:
-        nl = nl_all[p]
-        t0 = time.time()
-        requests = _halo_requests(
-            senders_g, receivers_g // nl, edge_mask_g, nl, p
-        )
-        # trainer-identical budgets: canonical max x headroom, rounded
-        trial = partition_graph_halo_np(
-            g, p, csr=csr, split_local=split, _requests=requests
-        )
-        hb = round_up(int(trial.halo_send_idx.shape[2] * headroom), 8)
-        if split:
-            el = trial.num_local_edges
-            eh = trial.senders.shape[1] - el
-            eb = (round_up(int(el * headroom), 128),
-                  round_up(int(eh * headroom), 128))
-        else:
-            eb = round_up(int(trial.senders.shape[1] * headroom), 128)
-        part = partition_graph_halo_np(
-            g, p, edge_budget_local=eb, halo_budget=hb, csr=csr,
-            split_local=split, _requests=requests,
-        )
-        host_s = time.time() - t0
-        shard = jax.tree_util.tree_map(jnp.asarray, one_part_shard(part))
-        shard = shard_batch(shard, mesh1, GRAPH_AXIS)
+      nl = nl_all[p]
+      t0 = time.time()
+      requests = _halo_requests(
+          senders_g, receivers_g // nl, edge_mask_g, nl, p
+      )
+      for split in split_modes:
+          # trainer-identical budgets: canonical max x headroom, rounded
+          trial = partition_graph_halo_np(
+              g, p, csr=csr, split_local=split, _requests=requests
+          )
+          hb = round_up(int(trial.halo_send_idx.shape[2] * headroom), 8)
+          if split:
+              el = trial.num_local_edges
+              eh = trial.senders.shape[1] - el
+              eb = (round_up(int(el * headroom), 128),
+                    round_up(int(eh * headroom), 128))
+          else:
+              eb = round_up(int(trial.senders.shape[1] * headroom), 128)
+          part = partition_graph_halo_np(
+              g, p, edge_budget_local=eb, halo_budget=hb, csr=csr,
+              split_local=split, _requests=requests,
+          )
+          host_s = time.time() - t0
+          shard = jax.tree_util.tree_map(jnp.asarray, one_part_shard(part))
+          shard = shard_batch(shard, mesh1, GRAPH_AXIS)
 
-        entry = {
-            "model": model_kind, "P": p, "nodes": n, "n_local": nl,
-            "edge_budget": (list(eb) if isinstance(eb, tuple) else eb),
-            "halo_budget": hb, "csr": csr, "split": split,
-            "headroom": headroom, "host_partition_s": round(host_s, 1),
-        }
-        try:
-            state = fresh_state()
-            with stub_exchange_for_benchmark():
-                t0 = time.time()
-                state, loss = step(state, shard)  # compile + 1st step
-                fetch_sync(loss, state)
-                entry["compile_s"] = round(time.time() - t0, 1)
-                t0 = time.time()
-                state, loss = step(state, shard)
-                fetch_sync(loss, state)
-                est = max(time.time() - t0, 1e-4)
-            entry["est_ms"] = round(est * 1e3, 3)
-            entry["loss_finite"] = bool(np.isfinite(float(loss)))
-            prepared.append([p, est, state, shard])
-        except Exception as exc:  # OOM through the tunnel = HTTP 500 / hbm
-            msg = str(exc)
-            kind = (
-                "oom"
-                if ("HTTP 500" in msg or "RESOURCE_EXHAUSTED" in msg
-                    or "hbm" in msg.lower())
-                else "error"
-            )
-            entry[kind] = msg[:300]
-        yield entry
+          entry = {
+              "model": model_kind, "P": p, "nodes": n, "n_local": nl,
+              "edge_budget": (list(eb) if isinstance(eb, tuple) else eb),
+              "halo_budget": hb, "csr": csr, "split": split,
+              "headroom": headroom, "host_partition_s": round(host_s, 1),
+          }
+          try:
+              state = fresh_state()
+              with stub_exchange_for_benchmark():
+                  t0 = time.time()
+                  state, loss = step(state, shard)  # compile + 1st step
+                  fetch_sync(loss, state)
+                  entry["compile_s"] = round(time.time() - t0, 1)
+                  t0 = time.time()
+                  state, loss = step(state, shard)
+                  fetch_sync(loss, state)
+                  est = max(time.time() - t0, 1e-4)
+              entry["est_ms"] = round(est * 1e3, 3)
+              entry["loss_finite"] = bool(np.isfinite(float(loss)))
+              key = str(p) + ("s" if split else "")
+              prepared.append([key, est, state, shard])
+          except Exception as exc:  # OOM through the tunnel = HTTP 500 / hbm
+              msg = str(exc)
+              kind = (
+                  "oom"
+                  if ("HTTP 500" in msg or "RESOURCE_EXHAUSTED" in msg
+                      or "hbm" in msg.lower())
+                  else "error"
+              )
+              entry[kind] = msg[:300]
+          yield entry
 
     # ---- phase B: interleaved measurement rounds --------------------------
     rounds = 3
@@ -256,7 +261,7 @@ def measure_config(g, model_kind, out_dim, edge_feats, parts, headroom,
             "probe_tflops_pre": _probe_tflops(), "t_ms": {},
         }
         for rec in prepared:
-            p, est, state, shard = rec
+            key, est, state, shard = rec
             it = max(2, min(iters, int(per_slot_s / max(est, 1e-4))))
             with stub_exchange_for_benchmark():
                 sec, state = time_chained_steps(
@@ -264,7 +269,7 @@ def measure_config(g, model_kind, out_dim, edge_feats, parts, headroom,
                 )
             rec[1] = sec  # refine the estimate with the live reading
             rec[2] = state
-            round_entry["t_ms"][str(p)] = round(sec * 1e3, 3)
+            round_entry["t_ms"][key] = round(sec * 1e3, 3)
         round_entry["probe_tflops_post"] = _probe_tflops()
         yield round_entry
 
@@ -280,6 +285,9 @@ def main():
     ap.add_argument("--split", action="store_true",
                     help="split-edge [local|halo] layout (attention overlap "
                          "mode; transformer only)")
+    ap.add_argument("--compare_split", action="store_true",
+                    help="interleave BOTH the plain and split layouts in "
+                         "the same rounds (same-window split-vs-unsplit)")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--budget_s", type=float, default=25.0,
                     help="max seconds of chained steps per config")
@@ -326,10 +334,14 @@ def main():
           "probe_tflops": _probe_tflops(),
           "ts": time.strftime("%Y-%m-%d %H:%M:%S")})
 
+    if args.compare_split:
+        split_modes = [False, True]
+    else:
+        split_modes = [args.split]
     rows = []
     for entry in measure_config(
         g, args.model, out_dim, edge_feats, args.parts, args.headroom,
-        csr, args.split, args.iters, args.budget_s,
+        csr, split_modes, args.iters, args.budget_s,
     ):
         rows.append(entry)
         emit(entry)
@@ -338,24 +350,34 @@ def main():
     round_rows = [r for r in rows if r.get("event") == "round"]
     summary = {
         "event": "summary", "model": args.model, "nodes": int(g.num_nodes),
-        "headroom": args.headroom, "split": args.split,
+        "headroom": args.headroom, "split_modes": split_modes,
         "probe_tflops_end": _probe_tflops(),
         "rows": [
             {k: r.get(k) for k in
-             ("P", "est_ms", "edge_budget", "halo_budget", "oom", "error")}
+             ("P", "split", "est_ms", "edge_budget", "halo_budget",
+              "oom", "error")}
             for r in cfg_rows
         ],
     }
     # per-round SAME-WINDOW ratios t(P)/t(base); base = smallest P that
     # fit (P=1 at 1M-node scale OOMs — the whole point of partitioning).
     # Median across rounds is the reported number, min/max the spread.
-    measured_ps = sorted(
-        {int(k) for rr in round_rows for k in rr["t_ms"]}
-    )
-    base_p = str(measured_ps[0]) if measured_ps else None
-    summary["ratio_base_P"] = int(base_p) if base_p else None
+    measured_ps = sorted({
+        int(k.rstrip("s")) for rr in round_rows for k in rr["t_ms"]
+        if not k.endswith("s")
+    } or {
+        int(k.rstrip("s")) for rr in round_rows for k in rr["t_ms"]
+    })
+    # ratio base: smallest unsplit P if available, else smallest split P
+    base_p = None
+    if measured_ps:
+        cand = str(measured_ps[0])
+        base_p = cand if any(
+            cand in rr["t_ms"] for rr in round_rows
+        ) else cand + "s"
+    summary["ratio_base_P"] = int(base_p.rstrip("s")) if base_p else None
     for r in summary["rows"]:
-        p = str(r["P"])
+        p = str(r["P"]) + ("s" if r.get("split") else "")
         ratios = [
             rr["t_ms"][p] / rr["t_ms"][base_p]
             for rr in round_rows
@@ -371,6 +393,16 @@ def main():
                 round(float(np.min(ratios)), 4),
                 round(float(np.max(ratios)), 4),
             ]
+        # same-window split overhead: split config vs its unsplit twin
+        if r.get("split"):
+            twin = str(r["P"])
+            svu = [
+                rr["t_ms"][p] / rr["t_ms"][twin]
+                for rr in round_rows
+                if p in rr["t_ms"] and twin in rr["t_ms"]
+            ]
+            if svu:
+                r["split_over_unsplit"] = round(float(np.median(svu)), 4)
     emit(summary)
     if sink:
         sink.close()
