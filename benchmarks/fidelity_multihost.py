@@ -30,6 +30,7 @@ def worker_main():
     nproc = int(os.environ["MH_NPROC"])
     port = os.environ["MH_PORT"]
     epochs = int(os.environ["MH_EPOCHS"])
+    per_host_batch = int(os.environ.get("MH_PER_HOST_BATCH", "4"))
     workdir = os.environ["MH_WORKDIR"]
 
     import jax
@@ -95,7 +96,8 @@ def worker_main():
 
     mesh = make_mesh(jax.device_count())
     loader = MultihostGraphLoader(
-        train_ds, per_host_batch=4, mesh=mesh, shuffle=True, seed=42
+        train_ds, per_host_batch=per_host_batch, mesh=mesh, shuffle=True,
+        seed=42,
     )
     trainer = Trainer(
         param, learning_rate=1e-3, warmup=200,
@@ -105,7 +107,9 @@ def worker_main():
     )
     # init from a HOST-LOCAL stacked example: the loader's peek() is a
     # global sharded array whose row 0 is only addressable on process 0
-    example = stack_graphs([train_ds[i] for i in range(4)])
+    example = stack_graphs(
+        [train_ds[i] for i in range(max(per_host_batch, 1))]
+    )
     trainer.init_state(example, num_steps=epochs * len(loader))
 
     t0 = time.time()
@@ -127,6 +131,8 @@ def main():
     ap.add_argument("--nproc", type=int, default=2)
     ap.add_argument("--port", type=int, default=12377)
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--devices_per_host", type=int, default=4)
+    ap.add_argument("--per_host_batch", type=int, default=4)
     ap.add_argument("--timeout", type=float, default=6000)
     args = ap.parse_args()
 
@@ -141,7 +147,9 @@ def main():
         if p and ".axon_site" not in p
     ) or "/root/repo"
     env_base["JAX_PLATFORMS"] = "cpu"
-    env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env_base["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={args.devices_per_host}"
+    )
 
     procs = []
     for pid in range(args.nproc):
@@ -149,6 +157,7 @@ def main():
         env.update({
             "MH_PID": str(pid), "MH_NPROC": str(args.nproc),
             "MH_PORT": str(args.port), "MH_EPOCHS": str(args.epochs),
+            "MH_PER_HOST_BATCH": str(args.per_host_batch),
             "MH_WORKDIR": workdir, "MH_ROLE": WORKER,
         })
         procs.append(subprocess.Popen(
@@ -182,6 +191,8 @@ def main():
     )
     summary = {
         "nproc": args.nproc,
+        "devices_per_host": args.devices_per_host,
+        "per_host_batch": args.per_host_batch,
         "epochs": args.epochs,
         "val_all_rollout_rmse_by_epoch": results[0]["val_rmse"],
         "train_loss_by_epoch": results[0]["train_loss"],
