@@ -440,6 +440,7 @@ def partition_frames_np(
     axis_name: str = GRAPH_AXIS,
     halo: bool = False,
     csr: bool = False,
+    split_local: bool = False,
 ):
     """Partition every frame of a trajectory identically and stack to leaves
     ``[T, P, ...]`` — the input to ``parallel.dp.partitioned_rollout``.
@@ -449,17 +450,27 @@ def partition_frames_np(
     share one static shape (world edges may differ per frame). ``csr=True``
     attaches per-part kernel bounds, with the static ``csr_max_chunks``
     normalized to the max over frames so the stacked pytree (and the one
-    compiled rollout scan) is uniform."""
+    compiled rollout scan) is uniform. ``split_local=True`` (halo only)
+    uses the ``[local | halo]`` overlap layout with (local, halo) slice
+    budgets maxed over frames."""
     from graphphysics_tpu.core.graph import round_up as _ru
 
     nl = frames[0].num_nodes // num_parts
+    if split_local and not halo:
+        raise ValueError("split_local requires halo=True")
     budget = 0
+    el_max = eh_max = 0
     for f in frames:
         em = np.asarray(f.edge_mask)
-        counts = np.bincount(
-            (np.asarray(f.receivers) // nl)[em], minlength=num_parts
-        )
+        part = (np.asarray(f.receivers) // nl)[em]
+        counts = np.bincount(part, minlength=num_parts)
         budget = max(budget, _ru(int(counts.max()), 128))
+        if split_local:
+            owner = (np.asarray(f.senders) // nl)[em]
+            loc = np.bincount(part[owner == part], minlength=num_parts)
+            hal = np.bincount(part[owner != part], minlength=num_parts)
+            el_max = max(el_max, _ru(int(loc.max()), 128))
+            eh_max = max(eh_max, _ru(max(int(hal.max()), 1), 128))
     if halo:
         per_frame = []
         halo_b = 8
@@ -471,11 +482,12 @@ def partition_frames_np(
             )
             per_frame.append(req)
             halo_b = max(halo_b, _ru(req[1], 8))
+        eb = (el_max, eh_max) if split_local else budget
         parts = [
             partition_graph_halo_np(
                 f, num_parts, axis_name,
-                edge_budget_local=budget, halo_budget=halo_b, csr=csr,
-                _requests=req,
+                edge_budget_local=eb, halo_budget=halo_b, csr=csr,
+                split_local=split_local, _requests=req,
             )
             for f, req in zip(frames, per_frame)
         ]

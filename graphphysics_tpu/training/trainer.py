@@ -1171,7 +1171,7 @@ class Trainer:
             frames = [permute_graph_np(f, perm) for f in frames]
         parts = partition_frames_np(
             frames, self.graph_partition, halo=self.partition_mode == "halo",
-            csr=csr,
+            csr=csr, split_local=self._split_attention(),
         )
         if self.partition_mode == "halo" and self.halo_dtype is not None:
             parts = parts.replace(halo_dtype=self.halo_dtype)

@@ -417,3 +417,56 @@ def test_trainer_split_attention_matches_plain(tmp_path):
     np.testing.assert_allclose(
         h_on["train_loss"], h_off["train_loss"], rtol=5e-3
     )
+
+
+def test_split_partitioned_rollout_matches_single_device():
+    """partition_frames_np(split_local=True): the partitioned transformer
+    ROLLOUT through the overlap layout equals the single-device rollout
+    (partitioned validation's path when overlap is on)."""
+    from graphphysics_tpu.core.graph import stack_graphs
+    from graphphysics_tpu.parallel.dp import partitioned_rollout
+    from graphphysics_tpu.parallel.graph_partition import partition_frames_np
+    from graphphysics_tpu.training.rollout import rollout
+
+    base = _mesh_graph(seed=5)
+    r = np.random.default_rng(9)
+    frames = []
+    for _ in range(3):
+        x = np.asarray(base.x).copy()
+        x[:, 0:2] = r.normal(size=x[:, 0:2].shape).astype(np.float32)
+        frames.append(
+            base.replace(
+                x=x, y=r.normal(size=base.y.shape).astype(np.float32)
+            )
+        )
+
+    cfg = SimulatorConfig(
+        node_input_size=2 + NodeType.SIZE, edge_input_size=0, output_size=2,
+        feature_index_start=0, feature_index_end=2,
+        output_index_start=0, output_index_end=2, node_type_index=2,
+    )
+    model = EncodeTransformDecode(
+        message_passing_num=1, node_input_size=cfg.node_input_size,
+        output_size=2, hidden_size=16, num_heads=4,
+    )
+    sim = Simulator(config=cfg, model=model)
+    stacked = jax.tree_util.tree_map(jnp.asarray, stack_graphs(frames))
+    g0 = jax.tree_util.tree_map(lambda a: a[0], stacked)
+    variables = sim.init({"params": jax.random.key(0)}, g0)
+    ref_preds, ref_targets = rollout(
+        sim, variables, stacked, jax.random.key(1)
+    )
+
+    mesh = make_mesh(4, (GRAPH_AXIS,))
+    parts = partition_frames_np(frames, 4, halo=True, split_local=True)
+    assert parts.num_local_edges is not None
+    parts = jax.tree_util.tree_map(jnp.asarray, parts)
+    preds, targets = partitioned_rollout(
+        sim, variables, parts, mesh, jax.random.key(1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(preds), np.asarray(ref_preds), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(targets), np.asarray(ref_targets), rtol=1e-6
+    )
