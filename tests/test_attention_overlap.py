@@ -470,3 +470,73 @@ def test_split_partitioned_rollout_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(targets), np.asarray(ref_targets), rtol=1e-6
     )
+
+
+def test_split_2d_dp_graph_step_matches_unsplit():
+    """The 2-D (data x graph) transformer step through the split-edge
+    overlap layout equals the unsplit 2-D step (pod-scale sharding)."""
+    from graphphysics_tpu.core.graph import stack_graphs
+    from graphphysics_tpu.parallel import (
+        make_dp_graph_parallel_train_step,
+        make_mesh,
+    )
+    from graphphysics_tpu.parallel.mesh import DATA_AXIS
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = SimulatorConfig(
+        node_input_size=2 + NodeType.SIZE, edge_input_size=0, output_size=2,
+        feature_index_start=0, feature_index_end=2,
+        output_index_start=0, output_index_end=2, node_type_index=2,
+    )
+    model = EncodeTransformDecode(
+        message_passing_num=1, node_input_size=cfg.node_input_size,
+        output_size=2, hidden_size=16, num_heads=4,
+    )
+    sim = Simulator(config=cfg, model=model)
+    g0 = _mesh_graph(seed=7)
+    gj = _jnp(g0)
+    variables = sim.init({"params": jax.random.key(0)}, gj)
+    tx = optax.adamw(1e-3)
+
+    def fresh_state():
+        return {
+            "params": jax.tree_util.tree_map(jnp.array, variables["params"]),
+            "normalizer": jax.tree_util.tree_map(
+                jnp.array, variables["normalizer"]
+            ),
+            "opt_state": tx.init(
+                jax.tree_util.tree_map(jnp.array, variables["params"])
+            ),
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    mesh2d = make_mesh(8, (DATA_AXIS, GRAPH_AXIS), shape=(2, 4))
+    step2d = make_dp_graph_parallel_train_step(
+        sim, tx, [NodeType.NORMAL, NodeType.OUTFLOW], mesh2d
+    )
+    sh = NamedSharding(mesh2d, P(DATA_AXIS, GRAPH_AXIS))
+
+    def batch_of(split):
+        graphs = [_mesh_graph(seed=7), _mesh_graph(seed=8)]
+        trial = partition_graph_halo_np(graphs[0], 4, split_local=split)
+        if split:
+            el = trial.num_local_edges
+            eb = (el, trial.senders.shape[1] - el)
+        else:
+            eb = trial.senders.shape[1]
+        hb = trial.halo_send_idx.shape[2]
+        parts = [
+            partition_graph_halo_np(
+                g, 4, edge_budget_local=eb, halo_budget=hb,
+                split_local=split,
+            )
+            for g in graphs
+        ]
+        stacked = _jnp(stack_graphs(parts))
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sh), stacked
+        )
+
+    _, loss_u = step2d(fresh_state(), batch_of(False))
+    _, loss_s = step2d(fresh_state(), batch_of(True))
+    np.testing.assert_allclose(float(loss_s), float(loss_u), rtol=1e-5)

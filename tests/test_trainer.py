@@ -959,3 +959,75 @@ def test_shrink_for_init_preserves_param_shapes(cylinder_env):
     assert jax.tree_util.tree_map(
         lambda a: a.shape, v_small["params"]
     ) == jax.tree_util.tree_map(lambda a: a.shape, v_full["params"])
+
+
+def test_cli_export_partitioned_artifact(cylinder_env, tmp_path, monkeypatch):
+    """grph export --graph_partition 4: the multi-device artifact loads on
+    a 4-device mesh and reproduces the single-device eval forward."""
+    tmp, param = cylinder_env
+    cfg_path = tmp_path / "cfg.json"
+    with open(cfg_path, "w") as f:
+        json.dump(param, f)
+    monkeypatch.chdir(tmp_path)
+    from graphphysics_tpu.cli.train import main as train_main
+
+    rc = train_main([
+        "--training_parameters_path", str(cfg_path),
+        "--num_epochs", "1",
+        "--batch_size", "2",
+        "--warmup", "2",
+        "--val_trajectories", "1",
+    ])
+    assert rc == 0
+    ckpt = tmp_path / "checkpoints" / "state.msgpack"
+
+    from graphphysics_tpu.cli.export import main as export_main
+
+    rc = export_main([
+        "--training_parameters_path", str(cfg_path),
+        "--model_path", str(ckpt),
+        "--output_dir", str(tmp_path / "exported"),
+        "--graph_partition", "4",
+    ])
+    assert rc == 0
+    part_path = tmp_path / "exported" / "eval_step_p4.stablehlo"
+    assert part_path.exists()
+
+    import jax
+
+    from graphphysics_tpu.parallel import make_mesh, shard_batch
+    from graphphysics_tpu.parallel.graph_partition import unpartition_rows
+    from graphphysics_tpu.parallel.mesh import GRAPH_AXIS
+    from graphphysics_tpu.training.checkpoint import load_checkpoint
+    from graphphysics_tpu.utils.export import load_partitioned_eval_step
+    from graphphysics_tpu.dataset import GraphLoader
+
+    val_pre = get_preprocessing(param, remove_noise=True)
+    ds = get_dataset(param, val_pre, switch_to_val=True)
+    trainer = Trainer(param)
+    g = GraphLoader(ds, batch_size=1, shuffle=False, prefetch=0).peek()
+    trainer.init_state(g, num_steps=1)
+    trainer.state = load_checkpoint(str(ckpt), trainer.state)
+    variables = {
+        "params": trainer.state["params"],
+        "normalizer": trainer.state["normalizer"],
+    }
+    gj = jax.tree_util.tree_map(np.asarray, g)
+    _, _, live = trainer.sim.apply(variables, gj, is_training=False)
+
+    ptrainer = Trainer(param, graph_partition=4)
+    ptrainer.sim = trainer.sim
+    parts = ptrainer._partition_graph(gj)
+    mesh = make_mesh(4, (GRAPH_AXIS,))
+    import jax.numpy as jnp
+
+    placed = shard_batch(
+        jax.tree_util.tree_map(jnp.asarray, parts), mesh, GRAPH_AXIS
+    )
+    with open(part_path, "rb") as f:
+        step = load_partitioned_eval_step(f.read())
+    assert step.nr_devices == 4
+    got = unpartition_rows(np.asarray(step(placed)))
+    np.testing.assert_allclose(
+        got, np.asarray(live), rtol=2e-4, atol=2e-5
+    )
