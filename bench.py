@@ -262,7 +262,14 @@ def main():
         state, step_time = measure_chain(state, budget_s=14.0)
         entry["step_ms"] = round(step_time * 1e3, 3)
         try:
-            tfs1, gbs1 = probe_pair()
+            try:
+                tfs1, gbs1 = probe_pair()
+            except Exception:
+                # a failed POST probe must not discard a valid PRE reading
+                # (mirror of the pre-probe fallback below)
+                if tfs0 is None:
+                    raise
+                tfs1, gbs1 = tfs0, gbs0
             if tfs0 is None:
                 tfs0, gbs0 = tfs1, gbs1
             entry["tflops"] = round(max(tfs0, tfs1), 1)

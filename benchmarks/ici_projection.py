@@ -120,12 +120,30 @@ def project(g, parts_list, reorder="hilbert", headroom=1.25, measured=None):
                  "t_comp_ms": round(t_comp, 3)}
         # MEASURED compute (benchmarks/ici_tcomp_measure.py): the per-part
         # step executed on the REAL chip with the exchange stubbed; the
-        # in-window ratio t_comp(P)/t_comp(1) replaces the MAC-linearity
+        # in-window ratio t_comp(P)/t_comp(base) replaces the MAC-linearity
         # assumption — the analytic column stays for comparison. Small-
         # shape inefficiency at high P shows up here and nowhere else.
-        if measured is not None and p in measured:
-            t_comp = t1 * measured[p]
-            entry["t_comp_measured_ratio"] = round(measured[p], 4)
+        # base_P == 1 anchors at t1; a 1M-scale file (P=1 OOMs) anchors
+        # its ratios at the ANALYTIC t_comp of its own base P.
+        if measured is not None and p in measured["ratios"]:
+            bp = measured["base_P"]
+            if bp == 1:
+                anchor = t1
+            else:
+                nl_b = n // bp
+                owner_b = receivers[edge_mask] // nl_b
+                e_b = round_up(
+                    int(np.bincount(owner_b, minlength=bp).max() * headroom),
+                    128,
+                )
+                anchor = T_REF_MS * cost_units(e_b, nl_b) / cost_units(
+                    E_REF, N_REF
+                )
+            t_comp = anchor * measured["ratios"][p]
+            entry["t_comp_measured_ratio"] = round(
+                measured["ratios"][p], 4
+            )
+            entry["t_comp_measured_base_P"] = bp
             entry["t_comp_measured_ms"] = round(t_comp, 3)
         # likewise the uniform all_to_all ships the full headroomed wire
         # budget per pair regardless of real boundary content
@@ -176,20 +194,31 @@ def main():
     measured = None
     if args.measured:
         measured = {}
+        base_p = 1
         with open(args.measured) as f:
             for line in f:
                 row = json.loads(line)
                 if row.get("event") == "summary":
+                    base_p = int(row.get("ratio_base_P") or 1)
                     for r in row["rows"]:
                         if r.get("split"):
                             continue  # plain layout is the canonical term
                         # same-window interleaved-round median (new format);
                         # probe-normalized fallback for older files
-                        ratio = r.get("ratio_vs_p1") or r.get(
-                            "ratio_vs_p1_probe_norm"
-                        )
+                        ratio = (r.get("ratio_vs_p1")
+                                 or r.get("ratio_vs_base")
+                                 or r.get("ratio_vs_p1_probe_norm"))
                         if ratio:
                             measured[int(r["P"])] = float(ratio)
+        # 1M-scale summaries ratio against the smallest P that FIT (P=1
+        # OOMs there); anchor those ratios at the analytic t_comp of the
+        # base P instead of t1
+        measured = {"base_P": base_p, "ratios": measured}
+        if base_p != 1 and base_p not in measured["ratios"]:
+            raise SystemExit(
+                f"--measured file ratios are relative to P={base_p}, "
+                f"which is missing from its own rows — cannot anchor"
+            )
 
     lcm = int(np.lcm.reduce(args.parts))
     g = build_graph(args.n, args.shuffled, parts_lcm=lcm)

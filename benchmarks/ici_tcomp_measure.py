@@ -195,11 +195,11 @@ def measure_config(g, model_kind, out_dim, edge_feats, parts, headroom,
     prepared = []
     for p in parts:
       nl = nl_all[p]
-      t0 = time.time()
       requests = _halo_requests(
           senders_g, receivers_g // nl, edge_mask_g, nl, p
       )
       for split in split_modes:
+          t0 = time.time()
           # trainer-identical budgets: canonical max x headroom, rounded
           trial = partition_graph_halo_np(
               g, p, csr=csr, split_local=split, _requests=requests
@@ -229,14 +229,14 @@ def measure_config(g, model_kind, out_dim, edge_feats, parts, headroom,
           try:
               state = fresh_state()
               with stub_exchange_for_benchmark():
-                  t0 = time.time()
+                  tc = time.time()
                   state, loss = step(state, shard)  # compile + 1st step
                   fetch_sync(loss, state)
-                  entry["compile_s"] = round(time.time() - t0, 1)
-                  t0 = time.time()
+                  entry["compile_s"] = round(time.time() - tc, 1)
+                  tc = time.time()
                   state, loss = step(state, shard)
                   fetch_sync(loss, state)
-                  est = max(time.time() - t0, 1e-4)
+                  est = max(time.time() - tc, 1e-4)
               entry["est_ms"] = round(est * 1e3, 3)
               entry["loss_finite"] = bool(np.isfinite(float(loss)))
               key = str(p) + ("s" if split else "")
@@ -290,7 +290,10 @@ def main():
                          "the same rounds (same-window split-vs-unsplit)")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--budget_s", type=float, default=25.0,
-                    help="max seconds of chained steps per config")
+                    help="TOTAL chained-step seconds spread across all "
+                         "configs and rounds (each (config, round) slot "
+                         "gets budget_s / (rounds * configs), min 2 steps "
+                         "— slow steps can exceed the budget)")
     ap.add_argument("--out", default=None, help="JSONL incremental output")
     args = ap.parse_args()
 

@@ -168,6 +168,24 @@ def _halo_requests(senders_g, part_of_edge, edge_mask_g, nl, num_parts):
     return requests, max_req
 
 
+
+def _halo_budget_and_send(
+    requests, max_req, num_parts, halo_multiple, halo_budget
+):
+    """Uniform halo budget + the [P, P, B] send table (row [q, p] = local
+    rows device q sends to device p) — shared by the plain and split-edge
+    halo partitioners so their exchange conventions cannot drift."""
+    b = halo_budget or max(halo_multiple, round_up(max_req, halo_multiple))
+    if max_req > b:
+        raise ValueError(f"halo_budget {b} < max boundary rows {max_req}")
+    halo_send = np.zeros((num_parts, num_parts, b), np.int32)
+    for p in range(num_parts):
+        for q in range(num_parts):
+            req = requests[p][q]
+            halo_send[q, p, : len(req)] = req
+    return b, halo_send
+
+
 def partition_graph_halo_np(
     graph: Graph,
     num_parts: int,
@@ -230,17 +248,9 @@ def partition_graph_halo_np(
         requests, max_req = _halo_requests(
             senders_g, part_of_edge, edge_mask_g, nl, p_arr
         )
-    b = halo_budget or max(
-        halo_multiple, round_up(max_req, halo_multiple)
+    b, halo_send = _halo_budget_and_send(
+        requests, max_req, p_arr, halo_multiple, halo_budget
     )
-    if max_req > b:
-        raise ValueError(f"halo_budget {b} < max boundary rows {max_req}")
-
-    halo_send = np.zeros((p_arr, p_arr, b), np.int32)
-    for p in range(p_arr):
-        for q in range(p_arr):
-            req = requests[p][q]
-            halo_send[q, p, : len(req)] = req
 
     # remap each part's senders: local -> local id; remote (owner q, request
     # slot r) -> nl + q*b + r; masked and padding slots -> the part's last
@@ -306,14 +316,9 @@ def _partition_halo_split(
         requests, max_req = _halo_requests(
             senders_g, part_of_edge, edge_mask_g, nl, num_parts
         )
-    b = halo_budget or max(halo_multiple, round_up(max_req, halo_multiple))
-    if max_req > b:
-        raise ValueError(f"halo_budget {b} < max boundary rows {max_req}")
-    halo_send = np.zeros((num_parts, num_parts, b), np.int32)
-    for p in range(num_parts):
-        for q in range(num_parts):
-            req = requests[p][q]
-            halo_send[q, p, : len(req)] = req
+    b, halo_send = _halo_budget_and_send(
+        requests, max_req, num_parts, halo_multiple, halo_budget
+    )
 
     # per-part (local, halo) edge index lists, each in the canonical slice
     # order (receiver-sorted under csr, input order otherwise)
